@@ -1,0 +1,127 @@
+"""MiDaS depth backbone (Flax) + correspondence-weight MLP.
+
+Parity target: `flowmap/model/backbone/backbone_midas.py:16-127` (MiDaS via
+torch.hub, head split so penultimate features feed a per-pixel weight MLP).
+The Flax port lives in `midas_net.py`; this module wires it into the backbone
+interface: depth mapping ("original": 1e3/(x+0.1), "exp": exp(x/1000)+0.01),
+feature warping by backward flow, and the sigmoid weight MLP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.geometry import earlier, later, sample_image_grid
+from ...ops.grid_sample import grid_sample_2d
+from ...ops.resize import resize_bilinear
+from ...types import Batch, BackboneOutput, Flows
+from .midas_net import MidasSmall, midas_small_init
+
+
+@dataclass(frozen=True)
+class BackboneMidasCfg:
+    name: Literal["midas"] = "midas"
+    pretrained: bool = True
+    weight_sensitivity: Optional[float] = None
+    mapping: Literal["original", "exp"] = "original"
+    model: Literal["DPT_Large", "MiDaS_small"] = "MiDaS_small"
+
+
+# Channel width of the penultimate decoder features per model variant
+# (reference: backbone_midas.py:60-64).
+_WEIGHT_CHANNELS = {"MiDaS_small": 64, "DPT_Large": 256}
+
+
+def init_midas(
+    cfg: BackboneMidasCfg,
+    num_frames: Optional[int],
+    image_shape: Optional[tuple[int, int]],
+    key: jax.Array,
+) -> dict:
+    if cfg.model != "MiDaS_small":
+        raise NotImplementedError(
+            "only the MiDaS_small variant is ported so far (DPT_Large planned)"
+        )
+    k_net, k_mlp = jax.random.split(key)
+    params: dict = {"midas": midas_small_init(k_mlp if False else k_net)}
+    if cfg.weight_sensitivity is None:
+        c = _WEIGHT_CHANNELS[cfg.model]
+        params["corr_weighter"] = _init_weight_mlp(k_mlp, [c * 2, 128, 64, 1])
+    else:
+        assert num_frames is not None and image_shape is not None
+        params["weights"] = jnp.zeros(
+            (num_frames - 1, *image_shape), dtype=jnp.float32
+        )
+    return params
+
+
+def _init_weight_mlp(key: jax.Array, dims: list[int]) -> list[dict]:
+    """Kaiming-normal (fan_in, relu) init, matching `make_net`
+    (backbone_midas.py:16-30)."""
+    layers = []
+    for i in range(len(dims) - 1):
+        key, sub = jax.random.split(key)
+        std = (2.0 / dims[i]) ** 0.5
+        layers.append(
+            {
+                "kernel": std * jax.random.normal(sub, (dims[i], dims[i + 1])),
+                "bias": jnp.zeros((dims[i + 1],)),
+            }
+        )
+    return layers
+
+
+def _apply_weight_mlp(layers: list[dict], x: jax.Array) -> jax.Array:
+    for i, layer in enumerate(layers):
+        x = x @ layer["kernel"] + layer["bias"]
+        if i + 1 < len(layers):
+            x = jax.nn.relu(x)
+    return x
+
+
+def apply_midas(
+    cfg: BackboneMidasCfg,
+    params: dict,
+    batch: Batch,
+    flows: Flows,
+) -> BackboneOutput:
+    b, f, _, h, w = batch.videos.shape
+
+    videos = batch.videos.reshape(b * f, 3, h, w)
+    # The Flax MiDaS returns (head_output, penultimate_features); the torch
+    # reference splits scratch.output_conv off the hub model to the same end.
+    head_out, features = MidasSmall.apply_split(
+        params["midas"], videos, mapping=cfg.mapping
+    )
+
+    if cfg.mapping == "original":
+        depths = 1e3 / (head_out + 0.1)
+    else:  # "exp" — for use with random initialization
+        depths = jnp.exp(head_out / 1000.0) + 0.01
+
+    features = resize_bilinear(features, (h, w)) / 20.0
+
+    depths = depths.reshape(b, f, h, w)
+    features = features.reshape(b, f, -1, h, w)
+
+    if cfg.weight_sensitivity is None:
+        xy, _ = sample_image_grid((h, w), dtype=videos.dtype)
+        grid = (xy + flows.backward) * 2.0 - 1.0  # (b, f-1, h, w, 2)
+        c = features.shape[2]
+        warped = grid_sample_2d(
+            earlier(features).reshape(b * (f - 1), c, h, w),
+            grid.reshape(b * (f - 1), h, w, 2),
+            padding_mode="zeros",
+        ).reshape(b, f - 1, c, h, w)
+        feats = jnp.concatenate([warped, later(features)], axis=2)
+        feats = jnp.moveaxis(feats, 2, -1)  # b p h w c
+        weights = jax.nn.sigmoid(_apply_weight_mlp(params["corr_weighter"], feats))
+        weights = jnp.clip(weights[..., 0], min=1e-4)
+    else:
+        weights = jax.nn.sigmoid(cfg.weight_sensitivity * params["weights"])[None]
+
+    return BackboneOutput(depths=depths, weights=weights)

@@ -1,0 +1,224 @@
+"""Intrinsics estimation modules: ground_truth / regressed / softmin.
+
+Parity: `flowmap/model/intrinsics/` in the reference. The hard part is the
+softmin module's two-stage state machine (SURVEY.md §7.3 #3): the reference
+mutates Python state (`self.window`, a `.data=` focal handoff at the stage
+boundary, `intrinsics_softmin.py:74-82,133-139`). Here both stages live in one
+jitted step:
+
+- The trailing window of focal estimates is a fixed-size ring buffer carried
+  in `IntrinsicsState` (functional state, updated with `where` gates).
+- The stage switch is a `lax.cond` on the traced step — both branches compile
+  once, no retracing.
+- The focal handoff (regressed focal := window mean at the boundary step) is a
+  pure parameter rewrite applied by `maybe_handoff_focal` before the forward
+  pass. The regressed focal is a trainable parameter from step 0 with zero
+  gradient during stage 1, which matches the reference exactly (its Adam
+  moments are zero when stage 2 begins).
+
+The softmin sweep itself — align the first two frames under each of the 60
+candidate focals and score the induced flow — is a single batched Procrustes
+solve over a (batch x candidate) axis: embarrassingly parallel, MXU-shaped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jaxtyping import Array, Float
+
+from ...ops.geometry import (
+    compute_backward_flow,
+    focal_lengths_to_intrinsics,
+    sample_image_grid,
+    unproject,
+)
+from ...ops.surface import align_surfaces
+from ...types import Batch, BackboneOutput, Flows
+
+
+@dataclass(frozen=True)
+class RegressionCfg:
+    after_step: int = 1000
+    window: int = 100
+
+
+@dataclass(frozen=True)
+class IntrinsicsGroundTruthCfg:
+    name: Literal["ground_truth"] = "ground_truth"
+
+
+@dataclass(frozen=True)
+class IntrinsicsRegressedCfg:
+    name: Literal["regressed"] = "regressed"
+    initial_focal_length: float = 0.85
+
+
+@dataclass(frozen=True)
+class IntrinsicsSoftminCfg:
+    name: Literal["softmin"] = "softmin"
+    num_procrustes_points: int = 8192
+    min_focal_length: float = 0.5
+    max_focal_length: float = 2.0
+    num_candidates: int = 60
+    regression: Optional[RegressionCfg] = RegressionCfg()
+
+
+IntrinsicsCfg = IntrinsicsGroundTruthCfg | IntrinsicsRegressedCfg | IntrinsicsSoftminCfg
+
+
+@struct.dataclass
+class IntrinsicsState:
+    """Trailing window of softmin focal estimates (ring buffer)."""
+
+    focal_window: Float[Array, " window"]
+
+
+def init_intrinsics(cfg: IntrinsicsCfg) -> dict:
+    if isinstance(cfg, IntrinsicsRegressedCfg):
+        return {"focal_length": jnp.asarray(cfg.initial_focal_length, jnp.float32)}
+    if isinstance(cfg, IntrinsicsSoftminCfg) and cfg.regression is not None:
+        # Stage-2 regressed focal; value is overwritten at the boundary step.
+        return {"focal_length": jnp.asarray(0.0, jnp.float32)}
+    return {}
+
+
+def init_intrinsics_state(cfg: IntrinsicsCfg) -> IntrinsicsState:
+    window = 0
+    if isinstance(cfg, IntrinsicsSoftminCfg) and cfg.regression is not None:
+        window = cfg.regression.window
+    return IntrinsicsState(focal_window=jnp.zeros((max(window, 1),), jnp.float32))
+
+
+def maybe_handoff_focal(
+    cfg: IntrinsicsCfg,
+    params: dict,
+    state: IntrinsicsState,
+    global_step: Array,
+) -> dict:
+    """At the stage boundary, overwrite the regressed focal with the window
+    mean (the reference's `.data =` assignment, `intrinsics_softmin.py:79-81`)."""
+    if not (isinstance(cfg, IntrinsicsSoftminCfg) and cfg.regression is not None):
+        return params
+    at_boundary = global_step == cfg.regression.after_step
+    new_focal = jnp.where(
+        at_boundary, jnp.mean(state.focal_window), params["focal_length"]
+    )
+    return {**params, "focal_length": new_focal}
+
+
+def _focal_to_k(
+    focal_length: Float[Array, ""],
+    batch: Batch,
+) -> Float[Array, "b f 3 3"]:
+    b, f, _, h, w = batch.videos.shape
+    k = focal_lengths_to_intrinsics(focal_length, (h, w))
+    return jnp.broadcast_to(k, (b, f, 3, 3))
+
+
+def _softmin_sweep(
+    cfg: IntrinsicsSoftminCfg,
+    batch: Batch,
+    flows: Flows,
+    backbone_output: BackboneOutput,
+    key: jax.Array,
+) -> tuple[Float[Array, "b f 3 3"], Float[Array, ""]]:
+    """Stage-1 softmin over candidate focals (`intrinsics_softmin.py:84-141`).
+
+    Returns the mixed intrinsics and the scalar focal estimate for the window.
+    """
+    b, f, _, h, w = batch.videos.shape
+    n = cfg.num_candidates
+    dtype = batch.videos.dtype
+
+    candidates = jnp.linspace(
+        cfg.min_focal_length, cfg.max_focal_length, n, dtype=dtype
+    )
+    candidate_k = focal_lengths_to_intrinsics(candidates, (h, w))  # (n, 3, 3)
+
+    indices = jax.random.permutation(key, h * w)[: cfg.num_procrustes_points]
+
+    # Unproject the first two frames under every candidate: (b*n, 2, h, w, 3).
+    xy, _ = sample_image_grid((h, w), dtype=dtype)
+    depths2 = jnp.repeat(backbone_output.depths[:, :2], n, axis=0)  # (b*n, 2, h, w)
+    k_bn = jnp.tile(candidate_k, (b, 1, 1))[:, None, None, None]  # (b*n, 1, 1, 1, 3, 3)
+    surfaces = unproject(xy, depths2, k_bn)
+
+    # Align frames 0-1 per candidate with the shared backward flow/weights.
+    flows_bwd01 = jnp.repeat(flows.backward[:, :1], n, axis=0)
+    weights01 = jnp.repeat(backbone_output.weights[:, :1], n, axis=0)
+    extrinsics = align_surfaces(surfaces, flows_bwd01, weights01, indices)
+
+    # Pose-induced backward flow at the sampled pixels.
+    surfaces_sub = surfaces.reshape(b * n, 2, h * w, 3)[:, :, indices]
+    k_pair = jnp.tile(candidate_k, (b, 1, 1))[:, None].repeat(2, axis=1)
+    xy_flowed = compute_backward_flow(surfaces_sub, extrinsics, k_pair)
+    xy_flowed = xy_flowed.reshape(b, n, -1, 2)
+
+    xy_sub = xy.reshape(h * w, 2)[indices]
+    flow = xy_flowed - xy_sub
+
+    flow_gt = flows.backward[:, :1].reshape(b, 1, h * w, 2)[:, :, indices]
+    pixel_weights = backbone_output.weights[:, :1].reshape(b, 1, h * w, 1)[
+        :, :, indices
+    ]
+
+    error = jnp.sum(jnp.abs((flow - flow_gt) * pixel_weights), axis=(-1, -2))  # (b, n)
+
+    softmin_weights = jax.nn.softmax(
+        -(error - jnp.min(error, axis=1, keepdims=True)) * 10.0, axis=1
+    )
+    mixed = jnp.einsum("bn,nij->bij", softmin_weights, candidate_k)
+    focal_estimate = jnp.mean(jnp.einsum("bn,n->b", softmin_weights, candidates))
+
+    intrinsics = jnp.broadcast_to(mixed[:, None], (b, f, 3, 3))
+    return intrinsics, focal_estimate
+
+
+def apply_intrinsics(
+    cfg: IntrinsicsCfg,
+    params: dict,
+    state: IntrinsicsState,
+    batch: Batch,
+    flows: Flows,
+    backbone_output: BackboneOutput,
+    global_step: Array,
+    key: jax.Array,
+    train: bool = True,
+) -> tuple[Float[Array, "b f 3 3"], IntrinsicsState]:
+    """Compute per-frame intrinsics and the updated window state."""
+    if isinstance(cfg, IntrinsicsGroundTruthCfg):
+        assert batch.intrinsics is not None, "ground_truth intrinsics need GT"
+        return batch.intrinsics, state
+
+    if isinstance(cfg, IntrinsicsRegressedCfg):
+        return _focal_to_k(params["focal_length"], batch), state
+
+    assert isinstance(cfg, IntrinsicsSoftminCfg)
+    softmin_k, focal_estimate = _softmin_sweep(cfg, batch, flows, backbone_output, key)
+
+    if cfg.regression is None:
+        return softmin_k, state
+
+    step = jnp.asarray(global_step)
+    regressed_k = _focal_to_k(params["focal_length"], batch)
+    in_stage2 = step >= cfg.regression.after_step
+    intrinsics = jnp.where(in_stage2, regressed_k, softmin_k)
+
+    # Ring-buffer update of the focal window during the trailing stage-1 steps.
+    window = cfg.regression.window
+    start = cfg.regression.after_step - window
+    in_window = (step >= start) & (~in_stage2) & train
+    slot = jnp.mod(step, window)
+    new_window = state.focal_window.at[slot].set(
+        jnp.where(
+            in_window,
+            jax.lax.stop_gradient(focal_estimate),
+            state.focal_window[slot],
+        )
+    )
+    return intrinsics, state.replace(focal_window=new_window)

@@ -1,0 +1,102 @@
+"""Differentiable bilinear grid sampling with PyTorch semantics.
+
+The reference leans on `torch.nn.functional.grid_sample` in four places
+(`flowmap/model/projection.py:235,266`, `flowmap/model/backbone/backbone_midas.py:120`,
+`flowmap/flow/flow_predictor.py:70`), always with `mode="bilinear"`,
+`align_corners=False`, and padding "border" or "zeros". ATE parity depends on
+bit-matching those conventions, so this module reimplements them exactly:
+
+- grid values in [-1, 1]; unnormalization x_pix = ((x + 1) * W - 1) / 2
+  (half-pixel centers).
+- "border": corner indices clamped into the image.
+- "zeros": out-of-bounds corners contribute zero.
+
+The sample is expressed as a flat `take` of the four corners plus a lerp —
+XLA lowers this to vectorized dynamic-gathers; a Pallas gather kernel can be
+swapped in underneath without changing call sites. Gradients flow to both the
+input image and the sampling grid (needed: the model backpropagates through
+flow-displaced sampling coordinates).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jaxtyping import Array, Float
+
+
+def grid_sample_2d(
+    input: Float[Array, "n c h w"],
+    grid: Float[Array, "n hg wg 2"],
+    padding_mode: str = "border",
+) -> Float[Array, "n c hg wg"]:
+    """Bilinear sample `input` at `grid` locations ([-1, 1], xy order)."""
+    if padding_mode not in ("border", "zeros"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    n, c, h, w = input.shape
+    _, hg, wg, _ = grid.shape
+
+    # Unnormalize to pixel coordinates (align_corners=False).
+    x = ((grid[..., 0] + 1.0) * w - 1.0) * 0.5
+    y = ((grid[..., 1] + 1.0) * h - 1.0) * 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    x0c = jnp.clip(x0i, 0, w - 1)
+    x1c = jnp.clip(x1i, 0, w - 1)
+    y0c = jnp.clip(y0i, 0, h - 1)
+    y1c = jnp.clip(y1i, 0, h - 1)
+
+    # Flatten spatial dims; gather the four corners per batch element.
+    flat = input.reshape(n, c, h * w)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(n, hg * wg)
+        out = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+        return out.reshape(n, c, hg, wg)
+
+    v00 = gather(y0c, x0c)
+    v01 = gather(y0c, x1c)
+    v10 = gather(y1c, x0c)
+    v11 = gather(y1c, x1c)
+
+    if padding_mode == "zeros":
+        # Zero the contribution of any corner that lies outside the image.
+        def in_bounds(yi, xi):
+            return (
+                (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            ).astype(input.dtype)[:, None]
+
+        v00 = v00 * in_bounds(y0i, x0i)
+        v01 = v01 * in_bounds(y0i, x1i)
+        v10 = v10 * in_bounds(y1i, x0i)
+        v11 = v11 * in_bounds(y1i, x1i)
+
+    tx = tx[:, None]
+    ty = ty[:, None]
+    top = v00 * (1.0 - tx) + v01 * tx
+    bottom = v10 * (1.0 - tx) + v11 * tx
+    return top * (1.0 - ty) + bottom * ty
+
+
+def grid_sample_points(
+    input: Float[Array, "n c h w"],
+    xy: Float[Array, "n p 2"],
+    padding_mode: str = "border",
+) -> Float[Array, "n c p"]:
+    """Sample at a flat list of normalized [0,1] xy points (convenience wrapper).
+
+    Equivalent to `grid_sample_2d(input, xy * 2 - 1)` with a (p, 1) grid, i.e.
+    the reference's recurring `F.grid_sample(..., rearrange(xy * 2 - 1, ...))`
+    pattern in `projection.py:235-241,266-272`.
+    """
+    grid = (xy * 2.0 - 1.0)[:, :, None, :]  # (n, p, 1, 2)
+    out = grid_sample_2d(input, grid, padding_mode=padding_mode)
+    return out[..., 0]

@@ -1,0 +1,112 @@
+"""Surface alignment and track reprojection — the pose-from-depth core.
+
+Parity targets: `flowmap/model/projection.py:213-298` (align_surfaces,
+compute_track_flow) in the reference. Both are pure functions over pytrees and
+fully batched; `align_surfaces` is additionally vmap-able over intrinsics
+candidates (the softmin module relies on this).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jaxtyping import Array, Bool, Float, Int
+
+from ..types import Tracks
+from .geometry import (
+    earlier,
+    get_extrinsics,
+    homogenize_points,
+    later,
+    project_camera_space,
+    reproject_points,
+    rigid_inverse,
+    sample_image_grid,
+)
+from .grid_sample import grid_sample_points
+from .procrustes import align_rigid
+
+
+def align_surfaces(
+    surfaces: Float[Array, "b f h w 3"],
+    backward_flows: Float[Array, "b p h w 2"],
+    backward_weights: Float[Array, "b p h w"],
+    indices: Int[Array, " k"],
+) -> Float[Array, "b f 4 4"]:
+    """Estimate camera poses by Procrustes-aligning flow-corresponded surfaces.
+
+    For each adjacent frame pair: take later-frame surface points at `indices`,
+    find where backward flow sends their pixels in the earlier frame, bilinearly
+    sample the earlier surface there, and solve for the rigid transform between
+    the two 3D point sets; then chain the per-pair transforms into poses
+    (P_0 = I). Reference: `projection.py:213-252`.
+    """
+    b, f, h, w, _ = surfaces.shape
+    xy, _ = sample_image_grid((h, w), dtype=surfaces.dtype)
+
+    # Later-frame 3D points at the selected pixels.
+    xyz_later = later(surfaces).reshape(b, f - 1, h * w, 3)[:, :, indices]
+
+    # Where those pixels land in the earlier frame (backward flow displaces
+    # the pixel grid), at the selected pixels.
+    xy_earlier = (xy + backward_flows).reshape(b, f - 1, h * w, 2)[:, :, indices]
+
+    # Sample the earlier-frame surface at the flowed locations.
+    k = indices.shape[0]
+    xyz_earlier = grid_sample_points(
+        earlier(surfaces).reshape(b * (f - 1), h, w, 3).transpose(0, 3, 1, 2),
+        xy_earlier.reshape(b * (f - 1), k, 2),
+        padding_mode="border",
+    )
+    xyz_earlier = xyz_earlier.transpose(0, 2, 1).reshape(b, f - 1, k, 3)
+
+    weights = backward_weights.reshape(b, f - 1, h * w)[..., indices]
+    inverse_relative_transformations = align_rigid(xyz_later, xyz_earlier, weights)
+    return get_extrinsics(inverse_relative_transformations)
+
+
+def compute_track_flow(
+    surfaces: Float[Array, "b f h w 3"],
+    extrinsics: Float[Array, "b f 4 4"],
+    intrinsics: Float[Array, "b f 3 3"],
+    tracks: Tracks,
+) -> tuple[
+    Float[Array, "b fs ft p 2"],  # reprojected track locations
+    Bool[Array, "b fs ft p"],  # joint visibility / in-frame mask
+]:
+    """Reproject track-sampled surface points from every source frame into
+    every target frame. Reference: `projection.py:255-298`."""
+    b, f, h, w, _ = surfaces.shape
+    p = tracks.xy.shape[2]
+
+    # Sample the surfaces at the track locations.
+    xyz = grid_sample_points(
+        surfaces.reshape(b * f, h, w, 3).transpose(0, 3, 1, 2),
+        tracks.xy.reshape(b * f, p, 2),
+        padding_mode="border",
+    )
+    xyz = xyz.transpose(0, 2, 1).reshape(b, f, p, 3)
+
+    # Broadcast layout: (b, fs, ft, p, ...).
+    xy_source = tracks.xy[:, :, None]  # b fs 1 p 2
+    xyz_source = xyz[:, :, None]  # b fs 1 p 3
+    extrinsics_source = extrinsics[:, :, None, None]  # b fs 1 1 4 4
+    extrinsics_target_inv = rigid_inverse(extrinsics)[:, None, :, None]  # b 1 ft 1 4 4
+    intrinsics_target = intrinsics[:, None, :, None]  # b 1 ft 1 3 3
+    visibility_source = tracks.visibility[:, :, None]  # b fs 1 p
+    visibility_target = tracks.visibility[:, None]  # b 1 ft p
+
+    relative = jnp.einsum(
+        "...ij,...jk->...ik", extrinsics_target_inv, extrinsics_source
+    )
+    xy_target = reproject_points(xyz_source, relative, intrinsics_target)
+    visibility = visibility_source & visibility_target
+
+    source_in_frame = jnp.all(xy_source >= 0, axis=-1) & jnp.all(
+        xy_source < 1, axis=-1
+    )
+    target_in_frame = jnp.all(xy_target >= 0, axis=-1) & jnp.all(
+        xy_target < 1, axis=-1
+    )
+    visibility = visibility & source_in_frame & target_in_frame
+
+    return xy_target, visibility
