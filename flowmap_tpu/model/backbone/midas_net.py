@@ -1,0 +1,290 @@
+"""MiDaS v2.1 small (EfficientNet-Lite3 encoder + RefineNet decoder) in JAX.
+
+Architecture-faithful port of the torch.hub `MiDaS_small` model the reference
+loads (`flowmap/model/backbone/backbone_midas.py:50-56`):
+
+- Encoder: EfficientNet-Lite3 (width 1.2 / depth 1.4, SE removed, ReLU6,
+  stem/head channels fixed — the "lite" modifications), tapped at 4 stages
+  with channels (32, 48, 136, 384) at strides (4, 8, 16, 32).
+- Scratch: per-stage 3x3 projection convs to (64, 128, 256, 512) (expand=True).
+- Decoder: 4 FeatureFusion blocks (two 2-conv residual units each, bilinear
+  x2 upsample with align_corners=True, 1x1 squeeze), producing 64-channel
+  features at input/2 resolution — exactly the tensor the reference taps for
+  its correspondence-weight MLP after splitting off `scratch.output_conv`.
+- Head ("output_conv"): 3x3 conv 64->32, x2 upsample, 3x3 conv 32->32, ReLU,
+  1x1 conv 32->1, ReLU. The "exp" depth mapping drops the last conv's
+  trailing non-negativity (reference: `backbone_midas.py:70-71`).
+
+Layout is NHWC internally (TPU-native conv layout); the public API takes and
+returns NCHW to match the rest of the framework. Parameters live in a plain
+nested dict whose keys mirror the torch module tree, so the weight converter
+(`flowmap_tpu/utils/torch_convert.py`) is a mechanical key/layout mapping.
+
+BatchNorm: batch statistics are used during training from scratch; converted
+pretrained checkpoints arrive with BN folded into the preceding conv (the
+encoder is frozen-ish at lr 3e-5 and the reference runs it in Lightning train
+mode, so folding matches its inference behavior closely).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jaxtyping import Array, Float
+
+# ---------------------------------------------------------------------------
+# Primitive layers (explicit param dicts, NHWC)
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, cin: int, cout: int, k: int, groups: int = 1, bias: bool = True):
+    fan_in = cin // groups * k * k
+    std = (2.0 / fan_in) ** 0.5
+    params = {"kernel": std * jax.random.normal(key, (k, k, cin // groups, cout))}
+    if bias:
+        params["bias"] = jnp.zeros((cout,))
+    return params
+
+
+def _conv(params, x, stride: int = 1, groups: int = 1, padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"],
+        window_strides=(stride, stride),
+        padding=padding,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def _bn_init(c: int):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+
+def _bn(params, x, eps: float = 1e-3):
+    """Batch-statistics normalization (training mode); folded for pretrained."""
+    if params is None:  # BN folded into the conv at weight conversion
+        return x
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+def _relu6(x):
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def _upsample2x(x, align_corners: bool = True):
+    """Bilinear x2 upsample, align_corners=True (torch Interpolate in MiDaS)."""
+    n, h, w, c = x.shape
+    ho, wo = 2 * h, 2 * w
+    if align_corners:
+        # Source coordinate: dst * (h-1)/(ho-1).
+        ys = jnp.arange(ho) * ((h - 1) / max(ho - 1, 1))
+        xs = jnp.arange(wo) * ((w - 1) / max(wo - 1, 1))
+    else:
+        ys = jnp.clip((jnp.arange(ho) + 0.5) / 2 - 0.5, 0, h - 1)
+        xs = jnp.clip((jnp.arange(wo) + 0.5) / 2 - 0.5, 0, w - 1)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ty = (ys - y0)[None, :, None, None]
+    tx = (xs - x0)[None, None, :, None]
+    g = lambda yi, xi: x[:, yi][:, :, xi]
+    top = g(y0, x0) * (1 - tx) + g(y0, x1) * tx
+    bot = g(y1, x0) * (1 - tx) + g(y1, x1) * tx
+    return top * (1 - ty) + bot * ty
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-Lite3 encoder
+# ---------------------------------------------------------------------------
+
+# (expand_ratio, channels, repeats, stride, kernel) per stage — lite3 scaling
+# of the EfficientNet-B0 recipe (width 1.2, depth 1.4, fixed first/last
+# repeats, no squeeze-excite).
+_LITE3_STAGES = [
+    (1, 24, 1, 1, 3),
+    (6, 32, 3, 2, 3),
+    (6, 48, 3, 2, 5),
+    (6, 96, 5, 2, 3),
+    (6, 136, 5, 1, 5),
+    (6, 232, 6, 2, 5),
+    (6, 384, 1, 1, 3),
+]
+_STEM_CHANNELS = 32
+
+
+def _mbconv_init(key, cin, cout, expand, kernel, fold_bn=False):
+    keys = jax.random.split(key, 3)
+    mid = cin * expand
+    p = {}
+    if expand != 1:
+        p["expand_conv"] = _conv_init(keys[0], cin, mid, 1, bias=fold_bn)
+        p["expand_bn"] = None if fold_bn else _bn_init(mid)
+    p["dw_conv"] = _conv_init(keys[1], mid, mid, kernel, groups=mid, bias=fold_bn)
+    p["dw_bn"] = None if fold_bn else _bn_init(mid)
+    p["project_conv"] = _conv_init(keys[2], mid, cout, 1, bias=fold_bn)
+    p["project_bn"] = None if fold_bn else _bn_init(cout)
+    return p
+
+
+def _mbconv(p, x, cin, cout, expand, stride, kernel):
+    mid_groups = cin * expand
+    shortcut = x
+    if expand != 1:
+        x = _relu6(_bn(p["expand_bn"], _conv(p["expand_conv"], x)))
+    x = _relu6(
+        _bn(p["dw_bn"], _conv(p["dw_conv"], x, stride=stride, groups=mid_groups))
+    )
+    x = _bn(p["project_bn"], _conv(p["project_conv"], x))
+    if stride == 1 and cin == cout:
+        x = x + shortcut
+    return x
+
+
+def _encoder_init(key, fold_bn=False):
+    keys = jax.random.split(key, 64)
+    ki = iter(range(64))
+    p = {
+        "stem_conv": _conv_init(keys[next(ki)], 3, _STEM_CHANNELS, 3, bias=fold_bn),
+        "stem_bn": None if fold_bn else _bn_init(_STEM_CHANNELS),
+        "blocks": [],
+    }
+    cin = _STEM_CHANNELS
+    for expand, cout, repeats, stride, kernel in _LITE3_STAGES:
+        for r in range(repeats):
+            p["blocks"].append(
+                _mbconv_init(
+                    keys[next(ki)], cin, cout, expand, kernel, fold_bn=fold_bn
+                )
+            )
+            cin = cout
+    return p
+
+
+def _encoder(p, x):
+    """Run the encoder; returns the 4 tapped feature maps (NHWC)."""
+    x = _relu6(_bn(p["stem_bn"], _conv(p["stem_conv"], x, stride=2)))
+    taps = {}
+    idx = 0
+    cin = _STEM_CHANNELS
+    stage_of_block = []
+    for s, (expand, cout, repeats, stride, kernel) in enumerate(_LITE3_STAGES):
+        for r in range(repeats):
+            x = _mbconv(
+                p["blocks"][idx], x, cin, cout, expand, stride if r == 0 else 1, kernel
+            )
+            cin = cout
+            idx += 1
+        taps[s] = x
+    # MiDaS taps: layer1 = after stage 1 (/4, 32ch), layer2 = stage 2 (/8,
+    # 48ch), layer3 = stage 4 (/16, 136ch), layer4 = stage 6 (/32, 384ch).
+    return taps[1], taps[2], taps[4], taps[6]
+
+
+# ---------------------------------------------------------------------------
+# Decoder (scratch + refinenets + head)
+# ---------------------------------------------------------------------------
+
+_TAP_CHANNELS = (32, 48, 136, 384)
+_RN_CHANNELS = (64, 128, 256, 512)  # expand=True scratch widths
+
+
+def _rcu_init(key, c):
+    k1, k2 = jax.random.split(key)
+    return {"conv1": _conv_init(k1, c, c, 3), "conv2": _conv_init(k2, c, c, 3)}
+
+
+def _rcu(p, x):
+    y = _conv(p["conv1"], jax.nn.relu(x))
+    y = _conv(p["conv2"], jax.nn.relu(y))
+    return x + y
+
+
+def _fusion_init(key, c, c_out):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "rcu1": _rcu_init(k1, c),
+        "rcu2": _rcu_init(k2, c),
+        "out_conv": _conv_init(k3, c, c_out, 1),
+    }
+
+
+def _fusion(p, x, skip=None):
+    if skip is not None:
+        x = x + _rcu(p["rcu1"], skip)
+    x = _rcu(p["rcu2"], x)
+    x = _upsample2x(x, align_corners=True)
+    return _conv(p["out_conv"], x)
+
+
+def midas_small_init(key, fold_bn: bool = False) -> dict:
+    keys = jax.random.split(key, 12)
+    params = {
+        "encoder": _encoder_init(keys[0], fold_bn=fold_bn),
+        "scratch": {
+            f"layer{i + 1}_rn": _conv_init(
+                keys[1 + i], _TAP_CHANNELS[i], _RN_CHANNELS[i], 3, bias=False
+            )
+            for i in range(4)
+        },
+        "refinenet4": _fusion_init(keys[5], 512, 256),
+        "refinenet3": _fusion_init(keys[6], 256, 128),
+        "refinenet2": _fusion_init(keys[7], 128, 64),
+        "refinenet1": _fusion_init(keys[8], 64, 64),
+        "head": {
+            "conv1": _conv_init(keys[9], 64, 32, 3),
+            "conv2": _conv_init(keys[10], 32, 32, 3),
+            "conv3": _conv_init(keys[11], 32, 1, 1),
+        },
+    }
+    return params
+
+
+class MidasSmall:
+    """Namespace for the functional MiDaS-small forward pass."""
+
+    @staticmethod
+    def apply_split(
+        params: dict,
+        images_nchw: Float[Array, "n 3 h w"],
+        mapping: Literal["original", "exp"] = "original",
+    ) -> tuple[Float[Array, "n h w"], Float[Array, "n c h2 w2"]]:
+        """Returns (head output (n, h, w), penultimate features NCHW at /2).
+
+        Mirrors the reference's split of `scratch.output_conv` off the hub
+        model (`backbone_midas.py:57-58`): features feed the correspondence
+        MLP; the head output feeds the depth mapping.
+        """
+        x = jnp.transpose(images_nchw, (0, 2, 3, 1))  # NHWC
+        l1, l2, l3, l4 = _encoder(params["encoder"], x)
+        s = params["scratch"]
+        l1 = _conv(s["layer1_rn"], l1)
+        l2 = _conv(s["layer2_rn"], l2)
+        l3 = _conv(s["layer3_rn"], l3)
+        l4 = _conv(s["layer4_rn"], l4)
+        path4 = _fusion(params["refinenet4"], l4)
+        path3 = _fusion(params["refinenet3"], path4, l3)
+        path2 = _fusion(params["refinenet2"], path3, l2)
+        path1 = _fusion(params["refinenet1"], path2, l1)  # (n, h/2, w/2, 64)
+
+        h = params["head"]
+        y = _conv(h["conv1"], path1)
+        y = _upsample2x(y, align_corners=True)
+        y = jax.nn.relu(_conv(h["conv2"], y))
+        y = _conv(h["conv3"], y)
+        if mapping == "original":
+            # Final non-negativity ReLU (dropped for the "exp" mapping,
+            # reference backbone_midas.py:70-71).
+            y = jax.nn.relu(y)
+
+        features = jnp.transpose(path1, (0, 3, 1, 2))  # NCHW
+        return y[..., 0], features
