@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: per-scene overfit optimization throughput on TPU.
+
+Workload = the reference's default per-scene configuration at its default
+scale (`config/overfit.yaml`): 150 frames at 160x224 (the 43200-px budget
+center-cropped to the patch size), MiDaS-small backbone, softmin intrinsics
+(60 candidates x 8192 Procrustes points), Procrustes extrinsics (1000 points),
+flow + tracking losses with the reference's track-segment structure
+(every 5 frames, ±20-frame windows, 35x35 query grids).
+
+Metric: full optimization steps/second, steady state, on one chip. The
+baseline is the PyTorch reference on one A100: ~2000 Adam steps in ~4 minutes
+per scene ("minutes per scene", FlowMap paper §benchmarks; the repo itself
+hardcodes no numbers — BASELINE.md) => 8.3 steps/s. `vs_baseline` > 1 means
+faster than the reference.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_STEPS_PER_SEC = 8.3  # PyTorch reference, 1x A100 (see docstring)
+
+NUM_FRAMES = 150
+IMAGE_SHAPE = (160, 224)
+WARMUP_STEPS = 10
+TIMED_CHUNKS = 3
+CHUNK_STEPS = 25
+
+
+def main() -> None:
+    import jax
+
+    from flowmap_tpu.loss import LossFlowCfg, LossTrackingCfg
+    from flowmap_tpu.model import (
+        BackboneMidasCfg,
+        ExtrinsicsProcrustesCfg,
+        IntrinsicsSoftminCfg,
+        ModelCfg,
+        RegressionCfg,
+    )
+    from flowmap_tpu.training.overfit import (
+        OverfitTrainerCfg,
+        init_train_state,
+        make_train_chunk,
+        make_train_step,
+    )
+    from flowmap_tpu.utils.synthetic import (
+        SyntheticSceneCfg,
+        make_scene,
+        make_track_segments,
+    )
+
+    batch, flows, gt_depths = make_scene(
+        SyntheticSceneCfg(num_frames=NUM_FRAMES, image_shape=IMAGE_SHAPE)
+    )
+    tracks = make_track_segments(batch, gt_depths, interval=5, radius=20, grid_size=35)
+
+    model_cfg = ModelCfg(
+        backbone=BackboneMidasCfg(pretrained=False, mapping="exp"),
+        intrinsics=IntrinsicsSoftminCfg(
+            regression=RegressionCfg(after_step=1000, window=100)
+        ),
+        extrinsics=ExtrinsicsProcrustesCfg(num_points=1000),
+    )
+    loss_cfgs = [LossFlowCfg(), LossTrackingCfg()]
+    trainer_cfg = OverfitTrainerCfg(lr=3e-5, max_steps=2000)
+
+    state, optimizer = init_train_state(
+        model_cfg, trainer_cfg, NUM_FRAMES, IMAGE_SHAPE
+    )
+    step = make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0))
+    chunk = make_train_chunk(step, CHUNK_STEPS)
+
+    # Warmup: compile + a few steps.
+    warm = make_train_chunk(step, WARMUP_STEPS)
+    state, metrics = warm(state, batch, flows, tracks)
+    jax.block_until_ready(metrics["loss/total"])
+
+    t0 = time.time()
+    for _ in range(TIMED_CHUNKS):
+        state, metrics = chunk(state, batch, flows, tracks)
+    jax.block_until_ready(metrics["loss/total"])
+    elapsed = time.time() - t0
+
+    steps_per_sec = TIMED_CHUNKS * CHUNK_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "overfit_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

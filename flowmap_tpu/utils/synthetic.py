@@ -147,6 +147,55 @@ def make_scene(cfg: SyntheticSceneCfg) -> tuple[Batch, Flows, jnp.ndarray]:
     return batch, flows, depths
 
 
+def make_track_segments(
+    batch: Batch,
+    depths: jnp.ndarray,
+    interval: int = 5,
+    radius: int = 20,
+    grid_size: int = 35,
+) -> list[Tracks]:
+    """Exact tracks in the reference's segment structure: every `interval`
+    frames, a (grid_size x grid_size) query grid tracked over a ±`radius`
+    window (reference: `flowmap/tracking/__init__.py:49-70`)."""
+    _, f, _, h, w = batch.videos.shape
+    xy, _ = sample_image_grid((h, w))
+    surfaces = unproject(xy, depths, batch.intrinsics[:, :, None, None])
+
+    # Query grid (matches CoTracker's grid query layout closely enough for
+    # workload parity).
+    gx = (np.arange(grid_size) + 0.5) / grid_size
+    gy = (np.arange(grid_size) + 0.5) / grid_size
+    query = np.stack(np.meshgrid(gx, gy, indexing="xy"), -1).reshape(-1, 2)
+    query = jnp.asarray(query, jnp.float32)[None]  # (1, p, 2)
+    p = query.shape[1]
+
+    segments = []
+    for center in range(0, f, interval):
+        start = max(center - radius, 0)
+        stop = min(center + radius + 1, f)
+        fs = stop - start
+        seg_surfaces = surfaces[:, start:stop]
+        seg_ext = batch.extrinsics[:, start:stop]
+        seg_int = batch.intrinsics[:, start:stop]
+        source = Tracks(
+            xy=jnp.broadcast_to(query[:, None], (1, fs, p, 2)),
+            visibility=jnp.ones((1, fs, p), dtype=bool),
+            start_frame=0,
+        )
+        xy_target, visibility = compute_track_flow(
+            seg_surfaces, seg_ext, seg_int, source
+        )
+        ci = center - start  # index of the query frame within the segment
+        segments.append(
+            Tracks(
+                xy=xy_target[:, ci],
+                visibility=visibility[:, ci],
+                start_frame=start,
+            )
+        )
+    return segments
+
+
 def make_tracks(
     batch: Batch,
     depths: jnp.ndarray,
