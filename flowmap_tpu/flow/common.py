@@ -1,0 +1,87 @@
+"""Bidirectional flow machinery shared by all flow predictors.
+
+Parity: `flowmap/flow/flow_predictor.py:39-103` — photometric consistency
+masks ((1 - max|Δrgb|)^8 via flow-warped sampling), bilinear rescaling of flow
+fields and masks to the model resolution, and the bidirectional compute
+(predictor on the video and on the time-reversed video).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from jaxtyping import Array, Float
+
+from ..ops.geometry import sample_image_grid
+from ..ops.grid_sample import grid_sample_2d
+from ..ops.resize import resize_bilinear
+from ..types import Batch, Flows
+
+
+def rescale_flow(
+    flow: Float[Array, "b p h w 2"],
+    shape: tuple[int, int],
+) -> Float[Array, "b p h2 w2 2"]:
+    b, p, h, w, _ = flow.shape
+    out = resize_bilinear(
+        flow.reshape(b * p, h, w, 2).transpose(0, 3, 1, 2), shape
+    )
+    return out.transpose(0, 2, 3, 1).reshape(b, p, *shape, 2)
+
+
+def rescale_mask(
+    mask: Float[Array, "b p h w"],
+    shape: tuple[int, int],
+) -> Float[Array, "b p h2 w2"]:
+    b, p, h, w = mask.shape
+    out = resize_bilinear(mask.reshape(b * p, 1, h, w), shape)
+    return out.reshape(b, p, *shape)
+
+
+def compute_consistency_mask(
+    videos: Float[Array, "b f 3 h w"],
+    flow: Float[Array, "b p h w 2"],
+) -> Float[Array, "b p h w"]:
+    """Photometric-consistency weight: warp the target frame back by the flow
+    and compare colors ((1 - max channel delta)^8)."""
+    b, f, c, h, w = videos.shape
+    source = videos[:, :-1].reshape(b * (f - 1), c, h, w)
+    target = videos[:, 1:].reshape(b * (f - 1), c, h, w)
+
+    source_xy, _ = sample_image_grid((h, w), dtype=videos.dtype)
+    target_xy = source_xy + flow.reshape(b * (f - 1), h, w, 2)
+    target_pixels = grid_sample_2d(
+        target, target_xy * 2.0 - 1.0, padding_mode="zeros"
+    )
+    deltas = jnp.max(jnp.abs(source - target_pixels), axis=1)
+    return ((1.0 - deltas) ** 8).reshape(b, f - 1, h, w)
+
+
+def compute_bidirectional_flow(
+    predict: Callable[[Float[Array, "b f 3 h w"]], Float[Array, "b p h w 2"]],
+    batch: Batch,
+    flow_shape: tuple[int, int],
+) -> Flows:
+    """Run `predict` on the video and its time reversal; normalize, mask,
+    rescale (reference: `flow_predictor.py:82-103`)."""
+    forward = predict(batch.videos)
+    forward_mask = compute_consistency_mask(batch.videos, forward)
+    forward = rescale_flow(forward, flow_shape)
+    forward_mask = rescale_mask(forward_mask, flow_shape)
+
+    backward_videos = jnp.flip(batch.videos, axis=1)
+    backward = predict(backward_videos)
+    backward_mask = compute_consistency_mask(backward_videos, backward)
+    backward = rescale_flow(backward, flow_shape)
+    backward_mask = rescale_mask(backward_mask, flow_shape)
+
+    backward = jnp.flip(backward, axis=1)
+    backward_mask = jnp.flip(backward_mask, axis=1)
+
+    return Flows(
+        forward=forward,
+        backward=backward,
+        forward_mask=forward_mask,
+        backward_mask=backward_mask,
+    )

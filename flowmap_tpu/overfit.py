@@ -1,0 +1,135 @@
+"""Per-scene optimization CLI: `python -m flowmap_tpu.overfit [overrides...]`.
+
+Parity: `flowmap/overfit.py:44-153` — load one scene as one batch, precompute
+flow (and tracks when the tracking loss is enabled), optimize for
+`trainer.max_steps`, visualize every `trainer.val_check_interval`, export a
+COLMAP model (+ dense .ply) and `runtime.json`.
+
+Overrides use dotted `key=value` syntax plus stackable `+experiment=name`
+packages (configs/experiment/*.yaml), mirroring the reference's Hydra CLI.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .config import OverfitCfg, compose_config
+from .datasets import example_to_batch, get_dataset
+from .export import export_to_colmap
+from .flow import compute_flows
+from .loss import LossTrackingCfg
+from .model.model import export as model_export
+from .tracking import compute_tracks
+from .training.overfit import (
+    OverfitTrainerCfg,
+    eval_forward,
+    run_overfit,
+)
+from .types import ModelExports
+from .utils.cropping import (
+    crop_and_resize_batch_for_flow,
+    crop_and_resize_batch_for_model,
+)
+from .visualization import LocalLogger, run_visualizers
+
+
+def overfit(cfg: OverfitCfg) -> dict:
+    start_time = time.time()
+    logger = LocalLogger(Path(cfg.output_dir))
+
+    # Load one scene as one batch (reference: overfit.py:53-58).
+    dataset = get_dataset(cfg.dataset, "train", cfg.frame_sampler)
+    example = dataset[0]
+    batch_full, frame_paths = example_to_batch(example)
+    print(f"Loaded scene {batch_full.scenes[0]}: {batch_full.videos.shape}")
+
+    # Resize/crop for the model and (at higher resolution) for flow.
+    batch, pre_crop_shape = crop_and_resize_batch_for_model(batch_full, cfg.cropping)
+    batch_for_flow = crop_and_resize_batch_for_flow(batch_full, cfg.cropping)
+    _, f, _, h, w = batch.videos.shape
+
+    # Precompute supervision.
+    print("Precomputing optical flow.")
+    flows = compute_flows(batch_for_flow, (h, w), cfg.flow)
+
+    tracks = None
+    if cfg.tracking is not None and any(
+        isinstance(l, LossTrackingCfg) for l in cfg.loss
+    ):
+        print("Precomputing tracks.")
+        tracks = compute_tracks(batch_for_flow, cfg.tracking, cfg.track_precomputation)
+
+    # Optimize.
+    trainer_cfg = OverfitTrainerCfg(
+        lr=cfg.model_wrapper.lr,
+        max_steps=cfg.trainer.max_steps,
+        val_check_interval=cfg.trainer.val_check_interval,
+    )
+    optimization_start = time.time()
+
+    def on_validation(state, step, metrics):
+        output = eval_forward(cfg.model, state, batch, flows)
+        visuals = run_visualizers(
+            cfg.visualizer, batch, flows, tracks, output, step
+        )
+        scalars = dict(metrics)
+        for key, value in visuals.items():
+            if value.ndim == 0:
+                scalars[key] = value
+            else:
+                logger.log_image(key, value, step)
+        logger.log_metrics(scalars, step)
+        pretty = " ".join(f"{k}={float(v):.5f}" for k, v in sorted(scalars.items()))
+        print(f"step {step}: {pretty}")
+
+    state, info = run_overfit(
+        cfg.model,
+        cfg.loss,
+        trainer_cfg,
+        batch,
+        flows,
+        tracks,
+        on_validation=on_validation,
+    )
+    optimization_runtime = time.time() - optimization_start
+
+    # Export (reference: overfit.py:117-147).
+    output = eval_forward(cfg.model, state, batch, flows)
+    exports = ModelExports(
+        extrinsics=output.extrinsics,
+        intrinsics=output.intrinsics,
+        colors=batch.videos,
+        depths=output.depths,
+    )
+    colmap_dir = Path(cfg.output_dir) / "colmap"
+    export_to_colmap(
+        exports,
+        frame_paths or None,
+        pre_crop_shape,
+        tuple(batch_full.videos.shape[-2:]),
+        colmap_dir,
+    )
+
+    runtime = {
+        "runtime": time.time() - start_time,
+        "optimization_runtime": optimization_runtime,
+    }
+    with open(Path(cfg.output_dir) / "runtime.json", "w") as fp:
+        json.dump(runtime, fp)
+    print(f"Done. runtime={runtime['runtime']:.1f}s -> {cfg.output_dir}")
+    return {"state": state, "info": info, "runtime": runtime}
+
+
+def main() -> None:
+    cfg = compose_config("overfit", OverfitCfg, sys.argv[1:])
+    overfit(cfg)
+
+
+if __name__ == "__main__":
+    main()

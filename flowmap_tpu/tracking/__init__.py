@@ -1,0 +1,21 @@
+from .tracking import (
+    TrackPrecomputationCfg,
+    TrackPredictorCfg,
+    TrackPredictorCoTrackerCfg,
+    TrackPredictorPrecomputedCfg,
+    compute_tracks,
+    load_tracks,
+    save_tracks,
+    segment_windows,
+)
+
+__all__ = [
+    "TrackPrecomputationCfg",
+    "TrackPredictorCfg",
+    "TrackPredictorCoTrackerCfg",
+    "TrackPredictorPrecomputedCfg",
+    "compute_tracks",
+    "load_tracks",
+    "save_tracks",
+    "segment_windows",
+]

@@ -1,0 +1,123 @@
+"""Point-track precomputation: segment scheduling, caching, and predictors.
+
+Parity: `flowmap/tracking/__init__.py:31-110` — every `interval` frames, track
+a (grid_size x grid_size) query grid over a ±`radius` window, with an
+RGB-similarity visibility filter, cached on disk keyed by a content hash.
+
+The CoTracker network port is staged work (`cotracker.py`); precomputed track
+loading covers evaluation parity in the meantime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Literal, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Batch, Tracks
+
+
+@dataclass(frozen=True)
+class TrackPredictorCoTrackerCfg:
+    name: Literal["cotracker"] = "cotracker"
+    grid_size: int = 35
+    similarity_threshold: float = 0.2
+    checkpoint: Optional[Path] = None
+
+
+@dataclass(frozen=True)
+class TrackPredictorPrecomputedCfg:
+    """Load tracks precomputed offline (npz per segment)."""
+
+    name: Literal["precomputed"] = "precomputed"
+    path: Path = Path("tracks.npz")
+
+
+TrackPredictorCfg = Union[TrackPredictorCoTrackerCfg, TrackPredictorPrecomputedCfg]
+
+
+@dataclass(frozen=True)
+class TrackPrecomputationCfg:
+    interval: int = 5
+    radius: int = 20
+    cache_path: Optional[Path] = None
+
+
+def get_cache_key(cfg: TrackPredictorCfg, pre_cfg: TrackPrecomputationCfg, batch: Batch) -> str:
+    """Content-hash cache key (reference: `tracking/__init__.py:80-99`)."""
+    payload = {
+        "predictor": {k: str(v) for k, v in vars(cfg).items()},
+        "precomputation": {
+            "interval": pre_cfg.interval,
+            "radius": pre_cfg.radius,
+        },
+        "scenes": list(batch.scenes),
+        "shape": list(batch.videos.shape),
+        "indices": np.asarray(batch.indices).tolist(),
+    }
+    return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()
+
+
+def save_tracks(path: Path, tracks: list[Tracks]) -> None:
+    arrays = {}
+    for i, t in enumerate(tracks):
+        arrays[f"xy_{i}"] = np.asarray(t.xy)
+        arrays[f"visibility_{i}"] = np.asarray(t.visibility)
+        arrays[f"start_{i}"] = np.asarray(t.start_frame)
+    arrays["count"] = np.asarray(len(tracks))
+    np.savez_compressed(path, **arrays)
+
+
+def load_tracks(path: Path) -> list[Tracks]:
+    data = np.load(path)
+    count = int(data["count"])
+    return [
+        Tracks(
+            xy=jnp.asarray(data[f"xy_{i}"]),
+            visibility=jnp.asarray(data[f"visibility_{i}"]),
+            start_frame=int(data[f"start_{i}"]),
+        )
+        for i in range(count)
+    ]
+
+
+def segment_windows(
+    num_frames: int, interval: int, radius: int
+) -> list[tuple[int, int]]:
+    """Segment (start, stop) windows (reference: `tracking/__init__.py:49-58`)."""
+    return [
+        (max(center - radius, 0), min(center + radius + 1, num_frames))
+        for center in range(0, num_frames, interval)
+    ]
+
+
+def compute_tracks(
+    batch: Batch,
+    cfg: TrackPredictorCfg,
+    pre_cfg: TrackPrecomputationCfg,
+) -> list[Tracks]:
+    """Precompute per-segment tracks, with optional disk caching."""
+    if isinstance(cfg, TrackPredictorPrecomputedCfg):
+        return load_tracks(cfg.path)
+
+    cache_file = None
+    if pre_cfg.cache_path is not None:
+        key = get_cache_key(cfg, pre_cfg, batch)
+        cache_file = Path(pre_cfg.cache_path) / f"{key}.npz"
+        if cache_file.exists():
+            return load_tracks(cache_file)
+
+    assert isinstance(cfg, TrackPredictorCoTrackerCfg)
+    from .cotracker import generate_video_tracks
+
+    tracks = generate_video_tracks(batch, cfg, pre_cfg)
+
+    if cache_file is not None:
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        save_tracks(cache_file, tracks)
+    return tracks
