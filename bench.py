@@ -26,7 +26,6 @@ REFERENCE_STEPS_PER_SEC = 8.3  # PyTorch reference, 1x A100 (see docstring)
 
 NUM_FRAMES = 150
 IMAGE_SHAPE = (160, 224)
-WARMUP_STEPS = 10
 TIMED_CHUNKS = 3
 CHUNK_STEPS = 25
 
@@ -57,7 +56,12 @@ def main() -> None:
     batch, flows, gt_depths = make_scene(
         SyntheticSceneCfg(num_frames=NUM_FRAMES, image_shape=IMAGE_SHAPE)
     )
-    tracks = make_track_segments(batch, gt_depths, interval=5, radius=20, grid_size=35)
+    from flowmap_tpu.tracking import pack_tracks
+
+    tracks = pack_tracks(
+        make_track_segments(batch, gt_depths, interval=5, radius=20, grid_size=35),
+        NUM_FRAMES,
+    )
 
     model_cfg = ModelCfg(
         backbone=BackboneMidasCfg(pretrained=False, mapping="exp"),
@@ -75,9 +79,8 @@ def main() -> None:
     step = make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0))
     chunk = make_train_chunk(step, CHUNK_STEPS)
 
-    # Warmup: compile + a few steps.
-    warm = make_train_chunk(step, WARMUP_STEPS)
-    state, metrics = warm(state, batch, flows, tracks)
+    # Warmup: compile + one chunk (reusing the same compiled program).
+    state, metrics = chunk(state, batch, flows, tracks)
     jax.block_until_ready(metrics["loss/total"])
 
     t0 = time.time()

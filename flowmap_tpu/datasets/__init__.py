@@ -9,6 +9,12 @@ from .dataset import (
     Stage,
     example_to_batch,
 )
+from .dataset_pretrain import (
+    DatasetCO3D,
+    DatasetCO3DCfg,
+    DatasetRE10k,
+    DatasetRE10kCfg,
+)
 from .frame_sampler import (
     FrameSamplerCfg,
     FrameSamplerOverfitCfg,
@@ -17,14 +23,22 @@ from .frame_sampler import (
 )
 
 DATASETS = {
+    "co3d": DatasetCO3D,
     "colmap": DatasetCOLMAP,
     "images": DatasetImages,
     "llff": DatasetLLFF,
+    "re10k": DatasetRE10k,
 }
 
 from typing import Union  # noqa: E402
 
-DatasetCfg = Union[DatasetCOLMAPCfg, DatasetImagesCfg, DatasetLLFFCfg]
+DatasetCfg = Union[
+    DatasetCO3DCfg,
+    DatasetCOLMAPCfg,
+    DatasetImagesCfg,
+    DatasetLLFFCfg,
+    DatasetRE10kCfg,
+]
 
 
 def get_dataset(
@@ -41,6 +55,10 @@ def get_dataset(
 
 __all__ = [
     "DATASETS",
+    "DatasetCO3D",
+    "DatasetCO3DCfg",
+    "DatasetRE10k",
+    "DatasetRE10kCfg",
     "DatasetCfg",
     "DatasetCOLMAP",
     "DatasetCOLMAPCfg",

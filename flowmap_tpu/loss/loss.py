@@ -20,8 +20,8 @@ from ..ops.geometry import (
     compute_forward_flow,
     sample_image_grid,
 )
-from ..ops.surface import compute_track_flow
-from ..types import Flows, ModelOutput, Tracks
+from ..ops.surface import compute_track_flow, compute_track_flow_packed
+from ..types import Flows, ModelOutput, Tracks, TracksPacked
 from .mapping import MappingCfg, apply_mapping
 
 
@@ -74,13 +74,29 @@ def loss_flow(
 
 def loss_tracking(
     cfg: LossTrackingCfg,
-    tracks: Sequence[Tracks],
+    tracks: Sequence[Tracks] | TracksPacked,
     model_output: ModelOutput,
     image_shape: tuple[int, int],
 ) -> Float[Array, ""]:
     """Per track segment: all-pairs source->target reprojection error vs the
-    tracked locations, masked by joint visibility (`loss_tracking.py:28-61`)."""
+    tracked locations, masked by joint visibility (`loss_tracking.py:28-61`).
+
+    Accepts either a ragged segment list (reference semantics, one subgraph
+    per segment) or a `TracksPacked` (uniform windows, one vmapped subgraph —
+    numerically identical, much cheaper to compile and run)."""
     h, w = image_shape
+    if isinstance(tracks, TracksPacked):
+        xy_target, visibility = compute_track_flow_packed(
+            model_output.surfaces,
+            model_output.extrinsics,
+            model_output.intrinsics,
+            tracks,
+        )
+        xy_target_gt = tracks.xy[:, :, None]  # b s 1 ft p 2
+        mapped = apply_mapping(cfg.mapping, xy_target, xy_target_gt, (h, w))
+        loss_sum = jnp.sum(mapped * visibility)
+        valid_sum = jnp.sum(visibility)
+        return loss_sum / jnp.maximum(valid_sum, 1.0)
     loss_sum = jnp.zeros((), dtype=model_output.surfaces.dtype)
     valid_sum = jnp.zeros((), dtype=model_output.surfaces.dtype)
     for segment in tracks:
@@ -117,7 +133,7 @@ def compute_losses(
         elif isinstance(cfg, LossTrackingCfg):
             if tracks is None:
                 raise ValueError("tracking loss requires tracks")
-            if len(tracks) == 0:
+            if not isinstance(tracks, TracksPacked) and len(tracks) == 0:
                 continue
             value = loss_tracking(cfg, tracks, model_output, image_shape)
         else:

@@ -8,10 +8,11 @@ candidates (the softmin module relies on this).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jaxtyping import Array, Bool, Float, Int
 
-from ..types import Tracks
+from ..types import Tracks, TracksPacked
 from .geometry import (
     earlier,
     get_extrinsics,
@@ -109,4 +110,37 @@ def compute_track_flow(
     )
     visibility = visibility & source_in_frame & target_in_frame
 
+    return xy_target, visibility
+
+
+def compute_track_flow_packed(
+    surfaces: Float[Array, "b f h w 3"],
+    extrinsics: Float[Array, "b f 4 4"],
+    intrinsics: Float[Array, "b f 3 3"],
+    packed: TracksPacked,
+) -> tuple[
+    Float[Array, "b s fs ft p 2"],  # reprojected track locations
+    Bool[Array, "b s fs ft p"],  # joint visibility mask
+]:
+    """`compute_track_flow` over all packed segments at once.
+
+    Each segment is a dynamic slice of length l starting at `starts[i]`;
+    the per-segment computation is vmapped over the segment axis, so the
+    whole tracking supervision is one uniform XLA subgraph regardless of the
+    number of segments.
+    """
+    l = packed.xy.shape[2]
+
+    def one_segment(start, xy, visibility):
+        seg = Tracks(xy=xy, visibility=visibility, start_frame=0)
+        return compute_track_flow(
+            jax.lax.dynamic_slice_in_dim(surfaces, start, l, axis=1),
+            jax.lax.dynamic_slice_in_dim(extrinsics, start, l, axis=1),
+            jax.lax.dynamic_slice_in_dim(intrinsics, start, l, axis=1),
+            seg,
+        )
+
+    xy_target, visibility = jax.vmap(
+        one_segment, in_axes=(0, 1, 1), out_axes=1
+    )(packed.starts, packed.xy, packed.visibility)
     return xy_target, visibility

@@ -4,6 +4,7 @@ from .tracking import (
     TrackPredictorCoTrackerCfg,
     TrackPredictorPrecomputedCfg,
     compute_tracks,
+    pack_tracks,
     load_tracks,
     save_tracks,
     segment_windows,
@@ -15,6 +16,7 @@ __all__ = [
     "TrackPredictorCoTrackerCfg",
     "TrackPredictorPrecomputedCfg",
     "compute_tracks",
+    "pack_tracks",
     "load_tracks",
     "save_tracks",
     "segment_windows",

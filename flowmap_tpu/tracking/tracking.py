@@ -121,3 +121,37 @@ def compute_tracks(
         cache_file.parent.mkdir(parents=True, exist_ok=True)
         save_tracks(cache_file, tracks)
     return tracks
+
+
+def pack_tracks(segments: list[Tracks], num_frames: int) -> "TracksPacked":
+    """Pack ragged segments into a uniform-window `TracksPacked`.
+
+    The common window length is the maximum segment length; each segment's
+    start is clamped so start + L <= num_frames, its frames are placed at
+    the corresponding offsets, and padding frames get visibility False (so
+    losses are bitwise-identical to the ragged form).
+    """
+    from ..types import TracksPacked
+
+    assert segments, "cannot pack an empty segment list"
+    b, _, p, _ = segments[0].xy.shape
+    length = min(max(t.xy.shape[1] for t in segments), num_frames)
+
+    xys, vis, starts = [], [], []
+    for t in segments:
+        fs = t.xy.shape[1]
+        start = min(t.start_frame, num_frames - length)
+        offset = t.start_frame - start
+        xy = np.full((b, length, p, 2), 0.5, np.float32)
+        v = np.zeros((b, length, p), bool)
+        xy[:, offset : offset + fs] = np.asarray(t.xy)
+        v[:, offset : offset + fs] = np.asarray(t.visibility)
+        xys.append(xy)
+        vis.append(v)
+        starts.append(start)
+
+    return TracksPacked(
+        xy=jnp.asarray(np.stack(xys, axis=1)),
+        visibility=jnp.asarray(np.stack(vis, axis=1)),
+        starts=jnp.asarray(starts, jnp.int32),
+    )

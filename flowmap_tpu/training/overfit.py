@@ -199,6 +199,13 @@ def run_overfit(
     """
     _, f, _, h, w = batch.videos.shape
     state, optimizer = init_train_state(model_cfg, trainer_cfg, f, (h, w))
+
+    # Pack ragged track segments into one uniform vmapped computation (much
+    # smaller XLA graphs; numerically identical — see tracking.pack_tracks).
+    if isinstance(tracks, (list, tuple)) and len(tracks) > 0:
+        from ..tracking import pack_tracks
+
+        tracks = pack_tracks(list(tracks), f)
     key = jax.random.PRNGKey(trainer_cfg.seed + 1)
     train_step = make_train_step(model_cfg, loss_cfgs, optimizer, key)
 

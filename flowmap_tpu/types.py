@@ -65,6 +65,24 @@ class Tracks:
 
 
 @struct.dataclass
+class TracksPacked:
+    """All track segments stacked with a uniform window length.
+
+    Segments in the reference have ragged frame windows (boundary windows are
+    shorter, `flowmap/tracking/__init__.py:49-58`), which would unroll into
+    one XLA subgraph per segment. Packing pads every segment to a common
+    window length (padding frames carry visibility=False, so losses are
+    unchanged) and records each segment's start frame, turning the tracking
+    loss into a single vmapped computation — far smaller graphs and better
+    TPU utilization.
+    """
+
+    xy: Float[Array, "b s l p 2"]
+    visibility: Bool[Array, "b s l p"]
+    starts: Int[Array, " s"]  # clamped so starts[i] + l <= num_frames
+
+
+@struct.dataclass
 class BackboneOutput:
     depths: Float[Array, "b f h w"]
     weights: Float[Array, "b p h w"]  # backward correspondence weights, p = f-1
