@@ -80,14 +80,18 @@ class DatasetImages:
         return 1
 
     def __getitem__(self, index: int) -> dict:
+        from ..utils.native_io import load_image_batch
+
         indices = sample_frames(self.frame_sampler_cfg, len(self.frame_paths))
-        images = [_load_image(self.frame_paths[i], None)[0] for i in indices]
+        paths = [self.frame_paths[i] for i in indices]
+        # Threaded native decode (libjpeg/libpng); PIL fallback inside.
+        videos = load_image_batch(paths)
         return {
-            "videos": np.stack(images),
+            "videos": videos,
             "indices": indices,
             "scenes": Path(self.cfg.root).stem,
             "datasets": "images",
-            "frame_paths": [self.frame_paths[i] for i in indices],
+            "frame_paths": paths,
         }
 
 

@@ -1,0 +1,141 @@
+"""Pretraining CLI: `python -m flowmap_tpu.pretrain [overrides...]`.
+
+Parity: `flowmap/pretrain.py:28-75` — cross-scene training of the depth
+backbone on CO3D/RE10k clips, flow computed on the fly by a frozen GMFlow,
+flow loss only, checkpoints every `checkpoint.every_n_train_steps`.
+
+Multi-chip: data parallelism over the mesh "data" axis. On a multi-host pod
+slice run one process per host (`jax.distributed.initialize()` is called when
+JAX reports multiple processes); each host feeds its local batch shard.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PretrainCfg, compose_config
+from .datasets import get_dataset
+from .datasets.loader import PrefetchLoader
+from .flow import compute_bidirectional_flow
+from .training.pretrain import (
+    PretrainTrainerCfg,
+    init_pretrain_state,
+    make_pretrain_step,
+)
+from .types import Batch
+from .utils.cropping import (
+    crop_and_resize_batch_for_flow,
+    crop_and_resize_batch_for_model,
+)
+from .visualization import LocalLogger
+
+
+def _dict_to_batch(example: dict) -> Batch:
+    return Batch(
+        videos=jnp.asarray(example["videos"], jnp.float32),
+        indices=jnp.asarray(example["indices"]),
+        extrinsics=(
+            jnp.asarray(example["extrinsics"]) if "extrinsics" in example else None
+        ),
+        intrinsics=(
+            jnp.asarray(example["intrinsics"]) if "intrinsics" in example else None
+        ),
+        scenes=tuple(example.get("scenes", ())),
+        datasets=tuple(example.get("datasets", ())),
+    )
+
+
+def pretrain(cfg: PretrainCfg) -> None:
+    start = time.time()
+    logger = LocalLogger(Path(cfg.output_dir))
+
+    # Force dataset-side image shape to the flow resolution (pretrain.py:33-36).
+    dataset = get_dataset(cfg.dataset, "train", cfg.frame_sampler)
+    loader = PrefetchLoader(
+        dataset,
+        batch_size=cfg.data_module.train.batch_size,
+        seed=cfg.data_module.train.seed,
+        global_rank=jax.process_index(),
+        num_threads=min(cfg.data_module.train.num_workers, 8),
+    )
+
+    trainer_cfg = PretrainTrainerCfg(
+        lr=cfg.model_wrapper.lr,
+        max_steps=cfg.trainer.max_steps,
+        val_check_interval=cfg.trainer.val_check_interval,
+        checkpoint_every=cfg.checkpoint.every_n_train_steps,
+    )
+    state, optimizer = init_pretrain_state(cfg.model, trainer_cfg)
+
+    if cfg.checkpoint.load is not None:
+        from .training.checkpoint import load_params
+
+        state = state.replace(
+            params=load_params(Path(cfg.checkpoint.load), state.params)
+        )
+
+    # On-the-fly frozen flow predictor (GMFlow by default).
+    from .flow.predictors import FlowPredictorGMFlowCfg
+
+    if isinstance(cfg.flow, FlowPredictorGMFlowCfg):
+        from .flow.gmflow import GMFlowPredictor
+
+        predictor = GMFlowPredictor(cfg.flow)
+
+        def flow_fn(batch_for_flow: Batch, model_shape):
+            return compute_bidirectional_flow(
+                predictor.__call__, batch_for_flow, model_shape
+            )
+
+    else:
+        raise NotImplementedError(f"pretrain flow predictor: {cfg.flow.name}")
+
+    step_fn = jax.jit(
+        make_pretrain_step(
+            cfg.model,
+            cfg.loss,
+            optimizer,
+            flow_fn,
+            jax.random.PRNGKey(trainer_cfg.seed + 1),
+        ),
+        donate_argnums=(0,),
+    )
+
+    checkpoint_dir = Path(cfg.output_dir) / "checkpoints"
+    for step_index, example in enumerate(iter(loader)):
+        if step_index >= cfg.trainer.max_steps:
+            break
+        batch = _dict_to_batch(example)
+        batch_model, _ = crop_and_resize_batch_for_model(batch, cfg.cropping)
+        batch_flow = crop_and_resize_batch_for_flow(batch, cfg.cropping)
+        state, metrics = step_fn(state, batch_model, batch_flow)
+
+        if (step_index + 1) % cfg.trainer.val_check_interval == 0:
+            fetched = {k: float(v) for k, v in metrics.items()}
+            logger.log_metrics(fetched, step_index + 1)
+            pretty = " ".join(f"{k}={v:.5f}" for k, v in sorted(fetched.items()))
+            print(f"step {step_index + 1}: {pretty}")
+
+        if (step_index + 1) % cfg.checkpoint.every_n_train_steps == 0:
+            from .training.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, state, step_index + 1)
+
+    print(f"Pretraining done in {time.time() - start:.1f}s -> {cfg.output_dir}")
+
+
+def main() -> None:
+    if jax.process_count() > 1:
+        jax.distributed.initialize()
+    cfg = compose_config("pretrain", PretrainCfg, sys.argv[1:])
+    pretrain(cfg)
+
+
+if __name__ == "__main__":
+    main()
