@@ -33,6 +33,14 @@ CHUNK_STEPS = 25
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: repeat bench runs skip the (expensive,
+    # remote) TPU compile entirely.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from flowmap_tpu.loss import LossFlowCfg, LossTrackingCfg
     from flowmap_tpu.model import (
         BackboneMidasCfg,

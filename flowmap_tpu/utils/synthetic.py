@@ -1,4 +1,4 @@
-"""Synthetic rigid-scene generator for tests and benchmarks.
+"""Synthetic rigid-scene generator for tests and benchmarks (pure NumPy).
 
 Zero-egress substitute for real scenes + pretrained flow networks: build a
 piecewise-planar world, a smooth camera trajectory, and ground-truth
@@ -7,6 +7,12 @@ the "observed" optical flow is the exact pose/depth-induced flow of the rigid
 scene. A correct optimizer must then drive ATE toward zero under the same loss
 the reference uses — this is the end-to-end correctness fixture SURVEY.md §4
 calls for.
+
+Implementation note: everything here is host-side NumPy on purpose. Scene
+setup used to be jnp and triggered one device compile per frame/segment,
+which is pathological under remote-compiled TPU attach (each tiny program
+costs seconds of compile); NumPy setup is instant and the arrays convert to
+device arrays on first use.
 """
 
 from __future__ import annotations
@@ -16,15 +22,6 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.geometry import (
-    compute_backward_flow,
-    compute_forward_flow,
-    focal_lengths_to_intrinsics,
-    intrinsics_inverse,
-    sample_image_grid,
-    unproject,
-)
-from ..ops.surface import compute_track_flow
 from ..types import Batch, Flows, Tracks
 
 
@@ -36,9 +33,58 @@ class SyntheticSceneCfg:
     seed: int = 0
 
 
+# ---------------------------------------------------------------------------
+# NumPy geometry helpers (mirror flowmap_tpu.ops.geometry semantics)
+# ---------------------------------------------------------------------------
+
+
+def _np_grid(h: int, w: int) -> np.ndarray:
+    x = (np.arange(w) + 0.5) / w
+    y = (np.arange(h) + 0.5) / h
+    return np.stack(np.meshgrid(x, y, indexing="xy"), axis=-1).astype(np.float32)
+
+
+def _np_k(focal: float, h: int, w: int) -> np.ndarray:
+    scale = (h * w) ** 0.5
+    return np.array(
+        [[focal * scale / w, 0, 0.5], [0, focal * scale / h, 0.5], [0, 0, 1.0]],
+        np.float32,
+    )
+
+
+def _np_unproject(xy: np.ndarray, z: np.ndarray, k: np.ndarray) -> np.ndarray:
+    k_inv = np.linalg.inv(k)
+    ones = np.ones_like(xy[..., :1])
+    rays = np.einsum("ij,...j->...i", k_inv, np.concatenate([xy, ones], -1))
+    return rays * z[..., None]
+
+
+def _np_rigid_inverse(t: np.ndarray) -> np.ndarray:
+    out = np.broadcast_to(np.eye(4, dtype=t.dtype), t.shape).copy()
+    r_t = np.swapaxes(t[..., :3, :3], -1, -2)
+    out[..., :3, :3] = r_t
+    out[..., :3, 3] = -np.einsum("...ij,...j->...i", r_t, t[..., :3, 3])
+    return out
+
+
+def _np_project_cam(points: np.ndarray, k: np.ndarray) -> np.ndarray:
+    points = points / (points[..., -1:] + 1e-5)
+    return np.einsum("...ij,...j->...i", k, points)[..., :2]
+
+
+def _np_reproject(
+    xyz: np.ndarray, relative: np.ndarray, k: np.ndarray
+) -> np.ndarray:
+    ones = np.ones_like(xyz[..., :1])
+    cam = np.einsum(
+        "...ij,...j->...i", relative, np.concatenate([xyz, ones], -1)
+    )[..., :3]
+    return _np_project_cam(cam, k)
+
+
 def _camera_trajectory(num_frames: int, rng: np.random.Generator) -> np.ndarray:
     """Smooth forward-and-sideways arc with mild rotation (c2w, OpenCV)."""
-    poses = np.zeros((num_frames, 4, 4))
+    poses = np.zeros((num_frames, 4, 4), np.float32)
     ts = np.linspace(0.0, 1.0, num_frames)
     for i, t in enumerate(ts):
         yaw = 0.3 * np.sin(2 * np.pi * t * 0.5)
@@ -53,30 +99,34 @@ def _camera_trajectory(num_frames: int, rng: np.random.Generator) -> np.ndarray:
     return poses
 
 
-def _plane_depth(
-    xy: jnp.ndarray,  # (h, w, 2) normalized grid
-    intrinsics: jnp.ndarray,  # (3, 3)
-    extrinsics: jnp.ndarray,  # (4, 4) c2w
-    planes: list[tuple[np.ndarray, float]],  # (normal, offset): n.x = d
-) -> jnp.ndarray:
-    """Per-pixel depth as the nearest positive ray/plane intersection."""
-    rays_cam = jnp.einsum(
-        "ij,hwj->hwi",
-        intrinsics_inverse(intrinsics),
-        jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1),
-    )
-    r = extrinsics[:3, :3]
-    t = extrinsics[:3, 3]
-    rays_world = jnp.einsum("ij,hwj->hwi", r, rays_cam)
-    best = jnp.full(xy.shape[:2], jnp.inf)
-    for normal, offset in planes:
-        n = jnp.asarray(normal, dtype=xy.dtype)
-        denom = jnp.einsum("hwi,i->hw", rays_world, n)
-        z = (offset - jnp.dot(t, n)) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-        z = jnp.where((z > 0.05) & (jnp.abs(denom) >= 1e-6), z, jnp.inf)
-        best = jnp.minimum(best, z)
-    # Cap at a far plane so degenerate rays stay finite.
-    return jnp.where(jnp.isfinite(best), best, 50.0)
+_PLANES = [
+    (np.array([0.0, 1.0, 0.0]), 2.0),  # floor (y down = +)
+    (np.array([1.0, 0.0, 0.2]), 4.0),  # right wall
+    (np.array([-1.0, 0.0, 0.2]), 4.0),  # left wall
+    (np.array([0.0, 0.0, 1.0]), 8.0),  # back wall
+]
+
+
+def _plane_depths(
+    xy: np.ndarray,  # (h, w, 2)
+    k: np.ndarray,  # (3, 3)
+    poses: np.ndarray,  # (f, 4, 4)
+) -> np.ndarray:
+    """Per-pixel depth as the nearest positive ray/plane intersection, for
+    every frame at once: (f, h, w)."""
+    k_inv = np.linalg.inv(k)
+    ones = np.ones_like(xy[..., :1])
+    rays_cam = np.einsum("ij,hwj->hwi", k_inv, np.concatenate([xy, ones], -1))
+    rays_world = np.einsum("fij,hwj->fhwi", poses[:, :3, :3], rays_cam)
+    t = poses[:, :3, 3]  # (f, 3)
+    best = np.full((poses.shape[0], *xy.shape[:2]), np.inf, np.float32)
+    for normal, offset in _PLANES:
+        denom = np.einsum("fhwi,i->fhw", rays_world, normal)
+        numer = offset - t @ normal  # (f,)
+        z = numer[:, None, None] / np.where(np.abs(denom) < 1e-6, 1e-6, denom)
+        z = np.where((z > 0.05) & (np.abs(denom) >= 1e-6), z, np.inf)
+        best = np.minimum(best, z)
+    return np.where(np.isfinite(best), best, 50.0).astype(np.float32)
 
 
 def make_scene(cfg: SyntheticSceneCfg) -> tuple[Batch, Flows, jnp.ndarray]:
@@ -85,71 +135,122 @@ def make_scene(cfg: SyntheticSceneCfg) -> tuple[Batch, Flows, jnp.ndarray]:
     f = cfg.num_frames
     h, w = cfg.image_shape
 
-    poses = jnp.asarray(_camera_trajectory(f, rng), dtype=jnp.float32)
-    k = focal_lengths_to_intrinsics(
-        jnp.asarray(cfg.focal_length, jnp.float32), (h, w)
+    poses = _camera_trajectory(f, rng)
+    k = _np_k(cfg.focal_length, h, w)
+    xy = _np_grid(h, w)
+
+    depths = _plane_depths(xy, k, poses)[None]  # (1, f, h, w)
+    surfaces = _np_unproject(xy, depths, k)  # (1, f, h, w, 3)
+
+    inv = _np_rigid_inverse(poses)
+    fwd_rel = np.einsum("fij,fjk->fik", inv[1:], poses[:-1])  # cam_i -> cam_{i+1}
+    bwd_rel = np.einsum("fij,fjk->fik", inv[:-1], poses[1:])  # cam_{i+1} -> cam_i
+
+    flow_fwd = (
+        _np_reproject(
+            surfaces[:, :-1], fwd_rel[None, :, None, None], k
+        )
+        - xy
     )
-    intrinsics = jnp.broadcast_to(k, (f, 3, 3))
+    flow_bwd = (
+        _np_reproject(
+            surfaces[:, 1:], bwd_rel[None, :, None, None], k
+        )
+        - xy
+    )
 
-    # A loose "room": floor, two side walls, and a back wall ahead of the
-    # trajectory end — gives depth variation without degenerate geometry.
-    planes = [
-        (np.array([0.0, 1.0, 0.0]), 2.0),  # floor (y down = +)
-        (np.array([1.0, 0.0, 0.2]), 4.0),  # right wall
-        (np.array([-1.0, 0.0, 0.2]), 4.0),  # left wall
-        (np.array([0.0, 0.0, 1.0]), 8.0),  # back wall
-    ]
-
-    xy, _ = sample_image_grid((h, w))
-    depths = jnp.stack(
-        [_plane_depth(xy, intrinsics[i], poses[i], planes) for i in range(f)]
-    )[None]
-
-    surfaces = unproject(
-        xy, depths, intrinsics[None, :, None, None]
-    )  # (1, f, h, w, 3)
-    poses_b = poses[None]
-    intr_b = intrinsics[None]
-
-    flow_fwd = compute_forward_flow(surfaces, poses_b, intr_b) - xy
-    flow_bwd = compute_backward_flow(surfaces, poses_b, intr_b) - xy
-
-    # Mask out pixels whose correspondence leaves the frame (occlusion-free
-    # piecewise-planar world: out-of-frame is the only failure mode).
     def in_frame_mask(flowed):
         return (
-            jnp.all(flowed >= 0.0, axis=-1) & jnp.all(flowed < 1.0, axis=-1)
-        ).astype(jnp.float32)
+            np.all(flowed >= 0.0, axis=-1) & np.all(flowed < 1.0, axis=-1)
+        ).astype(np.float32)
 
     flows = Flows(
-        forward=flow_fwd,
-        backward=flow_bwd,
-        forward_mask=in_frame_mask(flow_fwd + xy),
-        backward_mask=in_frame_mask(flow_bwd + xy),
+        forward=jnp.asarray(flow_fwd),
+        backward=jnp.asarray(flow_bwd),
+        forward_mask=jnp.asarray(in_frame_mask(flow_fwd + xy)),
+        backward_mask=jnp.asarray(in_frame_mask(flow_bwd + xy)),
     )
 
     # Simple procedural texture so visualizations/photometric ops have content.
     u = np.linspace(0, 8 * np.pi, w)
     v = np.linspace(0, 8 * np.pi, h)
     tex = 0.5 + 0.25 * (np.sin(u)[None, :] + np.cos(v)[:, None])
-    videos = jnp.broadcast_to(
-        jnp.asarray(tex, jnp.float32)[None, None, None], (1, f, 3, h, w)
+    videos = np.broadcast_to(
+        tex.astype(np.float32)[None, None, None], (1, f, 3, h, w)
     )
 
     batch = Batch(
-        videos=videos,
+        videos=jnp.asarray(videos),
         indices=jnp.arange(f)[None],
-        extrinsics=poses_b,
-        intrinsics=intr_b,
+        extrinsics=jnp.asarray(poses[None]),
+        intrinsics=jnp.asarray(np.broadcast_to(k, (1, f, 3, 3))),
         scenes=("synthetic",),
         datasets=("synthetic",),
     )
-    return batch, flows, depths
+    return batch, flows, jnp.asarray(depths)
+
+
+def _np_grid_sample_points(
+    images: np.ndarray,  # (n, c, h, w)
+    xy: np.ndarray,  # (n, p, 2) normalized [0,1]
+) -> np.ndarray:
+    """Border-padded bilinear sampling (NumPy mirror of grid_sample_points)."""
+    n, c, h, w = images.shape
+    x = xy[..., 0] * w - 0.5
+    y = xy[..., 1] * h - 0.5
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    tx = (x - x0)[:, None]
+    ty = (y - y0)[:, None]
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    idx = np.arange(n)[:, None]
+    flat = images.reshape(n, c, h * w)
+
+    def gather(yi, xi):
+        return np.take_along_axis(
+            flat, (yi * w + xi)[:, None, :].repeat(c, 1), axis=2
+        )
+
+    top = gather(y0c, x0c) * (1 - tx) + gather(y0c, x1c) * tx
+    bot = gather(y1c, x0c) * (1 - tx) + gather(y1c, x1c) * tx
+    return top * (1 - ty) + bot * ty  # (n, c, p)
+
+
+def _track_geometry(batch: Batch, depths) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    poses = np.asarray(batch.extrinsics[0])
+    k = np.asarray(batch.intrinsics[0, 0])
+    d = np.asarray(depths[0])
+    f, h, w = d.shape
+    xy = _np_grid(h, w)
+    surfaces = _np_unproject(xy, d, k)  # (f, h, w, 3)
+    return poses, k, surfaces
+
+
+def _exact_tracks(
+    poses: np.ndarray,  # (f, 4, 4) segment poses
+    k: np.ndarray,
+    surfaces: np.ndarray,  # (f, h, w, 3) segment surfaces
+    query: np.ndarray,  # (p, 2) on the query frame
+    query_frame: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Project the query frame's 3D points into every segment frame."""
+    fs = poses.shape[0]
+    h, w = surfaces.shape[1:3]
+    xyz = _np_grid_sample_points(
+        surfaces[query_frame].transpose(2, 0, 1)[None], query[None]
+    )[0].T  # (p, 3)
+    rel = np.einsum("fij,jk->fik", _np_rigid_inverse(poses), poses[query_frame])
+    xy_t = _np_reproject(xyz[None], rel[:, None], k)  # (fs, p, 2)
+    visibility = np.all(xy_t >= 0, -1) & np.all(xy_t < 1, -1)
+    return xy_t.astype(np.float32), visibility
 
 
 def make_track_segments(
     batch: Batch,
-    depths: jnp.ndarray,
+    depths,
     interval: int = 5,
     radius: int = 20,
     grid_size: int = 35,
@@ -157,39 +258,25 @@ def make_track_segments(
     """Exact tracks in the reference's segment structure: every `interval`
     frames, a (grid_size x grid_size) query grid tracked over a ±`radius`
     window (reference: `flowmap/tracking/__init__.py:49-70`)."""
-    _, f, _, h, w = batch.videos.shape
-    xy, _ = sample_image_grid((h, w))
-    surfaces = unproject(xy, depths, batch.intrinsics[:, :, None, None])
+    poses, k, surfaces = _track_geometry(batch, depths)
+    f = poses.shape[0]
 
-    # Query grid (matches CoTracker's grid query layout closely enough for
-    # workload parity).
     gx = (np.arange(grid_size) + 0.5) / grid_size
     gy = (np.arange(grid_size) + 0.5) / grid_size
     query = np.stack(np.meshgrid(gx, gy, indexing="xy"), -1).reshape(-1, 2)
-    query = jnp.asarray(query, jnp.float32)[None]  # (1, p, 2)
-    p = query.shape[1]
+    query = query.astype(np.float32)
 
     segments = []
     for center in range(0, f, interval):
         start = max(center - radius, 0)
         stop = min(center + radius + 1, f)
-        fs = stop - start
-        seg_surfaces = surfaces[:, start:stop]
-        seg_ext = batch.extrinsics[:, start:stop]
-        seg_int = batch.intrinsics[:, start:stop]
-        source = Tracks(
-            xy=jnp.broadcast_to(query[:, None], (1, fs, p, 2)),
-            visibility=jnp.ones((1, fs, p), dtype=bool),
-            start_frame=0,
+        xy_t, visibility = _exact_tracks(
+            poses[start:stop], k, surfaces[start:stop], query, center - start
         )
-        xy_target, visibility = compute_track_flow(
-            seg_surfaces, seg_ext, seg_int, source
-        )
-        ci = center - start  # index of the query frame within the segment
         segments.append(
             Tracks(
-                xy=xy_target[:, ci],
-                visibility=visibility[:, ci],
+                xy=jnp.asarray(xy_t[None]),
+                visibility=jnp.asarray(visibility[None]),
                 start_frame=start,
             )
         )
@@ -198,35 +285,19 @@ def make_track_segments(
 
 def make_tracks(
     batch: Batch,
-    depths: jnp.ndarray,
+    depths,
     num_points: int = 64,
     seed: int = 0,
 ) -> list[Tracks]:
     """Exact point tracks from the GT geometry (one whole-video segment)."""
     rng = np.random.default_rng(seed)
-    _, f, _, h, w = batch.videos.shape
-    xy, _ = sample_image_grid((h, w))
-    surfaces = unproject(
-        xy, depths, batch.intrinsics[:, :, None, None]
-    )
-    query = jnp.asarray(
-        rng.uniform(0.1, 0.9, size=(1, num_points, 2)), jnp.float32
-    )
-    # Track the queried frame-0 points into every frame via GT geometry:
-    # reproject frame-0 surface points through each camera.
-    track_source = Tracks(
-        xy=jnp.broadcast_to(query[:, None], (1, f, num_points, 2)),
-        visibility=jnp.ones((1, f, num_points), dtype=bool),
-        start_frame=0,
-    )
-    xy_target, visibility = compute_track_flow(
-        surfaces, batch.extrinsics, batch.intrinsics, track_source
-    )
-    # Use source frame 0's reprojections as the track trajectory.
+    poses, k, surfaces = _track_geometry(batch, depths)
+    query = rng.uniform(0.1, 0.9, size=(num_points, 2)).astype(np.float32)
+    xy_t, visibility = _exact_tracks(poses, k, surfaces, query, 0)
     return [
         Tracks(
-            xy=xy_target[:, 0],  # (1, ft, p, 2)
-            visibility=visibility[:, 0],
+            xy=jnp.asarray(xy_t[None]),
+            visibility=jnp.asarray(visibility[None]),
             start_frame=0,
         )
     ]
