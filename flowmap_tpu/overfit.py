@@ -63,7 +63,9 @@ def overfit(cfg: OverfitCfg) -> dict:
         isinstance(l, LossTrackingCfg) for l in cfg.loss
     ):
         print("Precomputing tracks.")
-        tracks = compute_tracks(batch_for_flow, cfg.tracking, cfg.track_precomputation)
+        tracks = compute_tracks(
+            batch_for_flow, cfg.tracking, cfg.track_precomputation, flows=flows
+        )
 
     # Optimize.
     trainer_cfg = OverfitTrainerCfg(

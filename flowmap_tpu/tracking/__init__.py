@@ -1,3 +1,4 @@
+from .tracker_flow_chain import TrackPredictorFlowChainCfg
 from .tracking import (
     TrackPrecomputationCfg,
     TrackPredictorCfg,
@@ -14,6 +15,7 @@ __all__ = [
     "TrackPrecomputationCfg",
     "TrackPredictorCfg",
     "TrackPredictorCoTrackerCfg",
+    "TrackPredictorFlowChainCfg",
     "TrackPredictorPrecomputedCfg",
     "compute_tracks",
     "pack_tracks",

@@ -19,7 +19,8 @@ from typing import Literal, Optional, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import Batch, Tracks
+from ..types import Batch, Flows, Tracks
+from .tracker_flow_chain import TrackPredictorFlowChainCfg
 
 
 @dataclass(frozen=True)
@@ -38,7 +39,11 @@ class TrackPredictorPrecomputedCfg:
     path: Path = Path("tracks.npz")
 
 
-TrackPredictorCfg = Union[TrackPredictorCoTrackerCfg, TrackPredictorPrecomputedCfg]
+TrackPredictorCfg = Union[
+    TrackPredictorCoTrackerCfg,
+    TrackPredictorFlowChainCfg,
+    TrackPredictorPrecomputedCfg,
+]
 
 
 @dataclass(frozen=True)
@@ -100,6 +105,7 @@ def compute_tracks(
     batch: Batch,
     cfg: TrackPredictorCfg,
     pre_cfg: TrackPrecomputationCfg,
+    flows: "Flows | None" = None,
 ) -> list[Tracks]:
     """Precompute per-segment tracks, with optional disk caching."""
     if isinstance(cfg, TrackPredictorPrecomputedCfg):
@@ -112,10 +118,18 @@ def compute_tracks(
         if cache_file.exists():
             return load_tracks(cache_file)
 
-    assert isinstance(cfg, TrackPredictorCoTrackerCfg)
-    from .cotracker import generate_video_tracks
+    if isinstance(cfg, TrackPredictorFlowChainCfg):
+        assert flows is not None, "flow_chain tracker needs precomputed flows"
+        from .tracker_flow_chain import generate_video_tracks_flow_chain
 
-    tracks = generate_video_tracks(batch, cfg, pre_cfg)
+        tracks = generate_video_tracks_flow_chain(
+            batch, flows, cfg, pre_cfg.interval, pre_cfg.radius
+        )
+    else:
+        assert isinstance(cfg, TrackPredictorCoTrackerCfg)
+        from .cotracker import generate_video_tracks
+
+        tracks = generate_video_tracks(batch, cfg, pre_cfg)
 
     if cache_file is not None:
         cache_file.parent.mkdir(parents=True, exist_ok=True)
