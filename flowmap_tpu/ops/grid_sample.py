@@ -20,8 +20,16 @@ flow-displaced sampling coordinates).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jaxtyping import Array, Float
+
+
+# Above this many bytes per corner-gather temp, sampling is chunked through
+# `lax.map` so XLA never materializes all four corner tensors at once (the
+# MiDaS feature warp at reference scale would otherwise peak >10 GB of HBM
+# temps in the backward pass).
+_CHUNK_BYTES = 192 * 1024 * 1024
 
 
 def grid_sample_2d(
@@ -32,6 +40,33 @@ def grid_sample_2d(
     """Bilinear sample `input` at `grid` locations ([-1, 1], xy order)."""
     if padding_mode not in ("border", "zeros"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    n, c, h, w = input.shape
+    _, hg, wg, _ = grid.shape
+
+    corner_bytes = n * hg * wg * c * 4
+    if corner_bytes > _CHUNK_BYTES:
+        points = grid.reshape(n, hg * wg, 2)
+        num_chunks = -(-corner_bytes // _CHUNK_BYTES)
+        total = hg * wg
+        chunk = -(-total // num_chunks)
+        padded = chunk * num_chunks
+        points = jnp.pad(points, ((0, 0), (0, padded - total), (0, 0)))
+        chunks = points.reshape(n, num_chunks, chunk, 2).transpose(1, 0, 2, 3)
+        out = jax.lax.map(
+            lambda xy: _grid_sample_direct(input, xy[:, :, None], padding_mode),
+            chunks,
+        )  # (num_chunks, n, c, chunk, 1)
+        out = out[..., 0].transpose(1, 2, 0, 3).reshape(n, c, padded)
+        return out[..., :total].reshape(n, c, hg, wg)
+
+    return _grid_sample_direct(input, grid, padding_mode)
+
+
+def _grid_sample_direct(
+    input: Float[Array, "n c h w"],
+    grid: Float[Array, "n hg wg 2"],
+    padding_mode: str,
+) -> Float[Array, "n c hg wg"]:
     n, c, h, w = input.shape
     _, hg, wg, _ = grid.shape
 
