@@ -29,6 +29,10 @@ class BackboneMidasCfg:
     weight_sensitivity: Optional[float] = None
     mapping: Literal["original", "exp"] = "original"
     model: Literal["DPT_Large", "MiDaS_small"] = "MiDaS_small"
+    # TPU-native knob: run the conv net in bfloat16 (MXU-native, halves HBM
+    # traffic); geometry and losses stay float32. Depth/feature outputs are
+    # cast back to float32.
+    compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
 
 
 # Channel width of the penultimate decoder features per model variant
@@ -94,9 +98,15 @@ def apply_midas(
     videos = batch.videos.reshape(b * f, 3, h, w)
     # The Flax MiDaS returns (head_output, penultimate_features); the torch
     # reference splits scratch.output_conv off the hub model to the same end.
-    head_out, features = MidasSmall.apply_split(
-        params["midas"], videos, mapping=cfg.mapping
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    net_params = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params["midas"]
     )
+    head_out, features = MidasSmall.apply_split(
+        net_params, videos.astype(dtype), mapping=cfg.mapping
+    )
+    head_out = head_out.astype(jnp.float32)
+    features = features.astype(jnp.float32)
 
     if cfg.mapping == "original":
         depths = 1e3 / (head_out + 0.1)
