@@ -67,6 +67,23 @@ def overfit(cfg: OverfitCfg) -> dict:
             batch_for_flow, cfg.tracking, cfg.track_precomputation, flows=flows
         )
 
+    # Resolve the initialization checkpoint (weights only; the optimizer
+    # restarts, matching reference overfit.py:89-92).
+    init_params = None
+    if cfg.checkpoint.load is not None:
+        from .utils.wandb_tools import resolve_checkpoint
+
+        ckpt_path = resolve_checkpoint(cfg.checkpoint.load)
+        if str(ckpt_path).endswith((".ckpt", ".pt", ".pth")):
+            from .utils.torch_convert import load_reference_checkpoint
+
+            init_params = load_reference_checkpoint(ckpt_path)
+        else:
+            from .training.checkpoint import load_params
+
+            init_params = load_params(ckpt_path)
+        print(f"Loaded initialization from {ckpt_path}.")
+
     # Optimize.
     trainer_cfg = OverfitTrainerCfg(
         lr=cfg.model_wrapper.lr,
@@ -98,6 +115,7 @@ def overfit(cfg: OverfitCfg) -> dict:
         flows,
         tracks,
         on_validation=on_validation,
+        init_params=init_params,
     )
     optimization_runtime = time.time() - optimization_start
 

@@ -191,6 +191,7 @@ def run_overfit(
     flows: Flows,
     tracks: Optional[Sequence[Tracks]] = None,
     on_validation: Optional[Callable] = None,
+    init_params: Optional[dict] = None,
 ) -> tuple[TrainState, dict]:
     """Run the full overfitting schedule; returns final state + timing info.
 
@@ -199,6 +200,23 @@ def run_overfit(
     """
     _, f, _, h, w = batch.videos.shape
     state, optimizer = init_train_state(model_cfg, trainer_cfg, f, (h, w))
+
+    if init_params is not None:
+        # Non-strict weights-only load (reference overfit.py:89-92): leaves
+        # missing entries at their initialization; optimizer state restarts.
+        def merge(target, loaded):
+            if isinstance(target, dict):
+                return {
+                    k: merge(v, loaded[k]) if isinstance(loaded, dict) and k in loaded else v
+                    for k, v in target.items()
+                }
+            if isinstance(target, list):
+                if isinstance(loaded, list) and len(loaded) == len(target):
+                    return [merge(t, l) for t, l in zip(target, loaded)]
+                return target
+            return loaded if loaded is not None else target
+
+        state = state.replace(params=merge(state.params, init_params))
 
     # Pack ragged track segments into one uniform vmapped computation (much
     # smaller XLA graphs; numerically identical — see tracking.pack_tracks).

@@ -145,3 +145,64 @@ def load_midas_checkpoint(path) -> dict:
     if "state_dict" in state_dict:
         state_dict = state_dict["state_dict"]
     return convert_midas_small(state_dict)
+
+
+def convert_reference_checkpoint(state_dict: dict) -> dict:
+    """Convert a reference FlowMap Lightning checkpoint (the published
+    `initialization_finetuned.ckpt`, `flowmap/overfit.py:89-92`) into this
+    framework's model params.
+
+    The Lightning state_dict prefixes the wrapped model as `model.`; inside,
+    `model.backbone.midas.*` is the torch-hub MiDaS (converted with BN
+    folding), `model.backbone.corr_weighter_perpoint.*` is the weight MLP,
+    and `model.intrinsics.*` may carry a regressed focal length.
+    """
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+
+    midas_sd = {
+        k.removeprefix("backbone.midas."): v
+        for k, v in sd.items()
+        if k.startswith("backbone.midas.")
+    }
+    params: dict = {"backbone": {}, "intrinsics": {}, "extrinsics": {}}
+    if midas_sd:
+        params["backbone"]["midas"] = convert_midas_small(midas_sd)
+
+    # Correspondence-weight MLP: Sequential(Linear, ReLU, Linear, ReLU, Linear)
+    # -> layer indices 0, 2, 4 (`backbone_midas.py:16-30`).
+    mlp = []
+    for idx in (0, 2, 4):
+        key = f"backbone.corr_weighter_perpoint.{idx}.weight"
+        if key in sd:
+            mlp.append(
+                {
+                    "kernel": _to_np(sd[key]).T,
+                    "bias": _to_np(sd[f"backbone.corr_weighter_perpoint.{idx}.bias"]),
+                }
+            )
+    if mlp:
+        import jax.numpy as jnp
+
+        params["backbone"]["corr_weighter"] = [
+            {k: jnp.asarray(v) for k, v in layer.items()} for layer in mlp
+        ]
+
+    for key in (
+        "intrinsics.intrinsics_regressed.focal_length",
+        "intrinsics.focal_length",
+    ):
+        if key in sd:
+            import jax.numpy as jnp
+
+            params["intrinsics"]["focal_length"] = jnp.asarray(_to_np(sd[key]))
+            break
+
+    return params
+
+
+def load_reference_checkpoint(path) -> dict:
+    import torch
+
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = checkpoint.get("state_dict", checkpoint)
+    return convert_reference_checkpoint(state_dict)
