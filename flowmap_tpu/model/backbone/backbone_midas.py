@@ -46,12 +46,13 @@ def init_midas(
     image_shape: Optional[tuple[int, int]],
     key: jax.Array,
 ) -> dict:
-    if cfg.model != "MiDaS_small":
-        raise NotImplementedError(
-            "only the MiDaS_small variant is ported so far (DPT_Large planned)"
-        )
     k_net, k_mlp = jax.random.split(key)
-    params: dict = {"midas": midas_small_init(k_mlp if False else k_net)}
+    if cfg.model == "MiDaS_small":
+        params: dict = {"midas": midas_small_init(k_net)}
+    else:
+        from .dpt_net import dpt_large_init
+
+        params = {"midas": dpt_large_init(k_net)}
     if cfg.weight_sensitivity is None:
         c = _WEIGHT_CHANNELS[cfg.model]
         params["corr_weighter"] = _init_weight_mlp(k_mlp, [c * 2, 128, 64, 1])
@@ -102,9 +103,16 @@ def apply_midas(
     net_params = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params["midas"]
     )
-    head_out, features = MidasSmall.apply_split(
-        net_params, videos.astype(dtype), mapping=cfg.mapping
-    )
+    if cfg.model == "MiDaS_small":
+        head_out, features = MidasSmall.apply_split(
+            net_params, videos.astype(dtype), mapping=cfg.mapping
+        )
+    else:
+        from .dpt_net import DptLarge
+
+        head_out, features = DptLarge.apply_split(
+            net_params, videos.astype(dtype), mapping=cfg.mapping
+        )
     head_out = head_out.astype(jnp.float32)
     features = features.astype(jnp.float32)
 
