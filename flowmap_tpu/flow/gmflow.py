@@ -283,15 +283,17 @@ def _coords_grid(h: int, w: int) -> jnp.ndarray:
 
 
 def global_correlation_softmax(f0: Float[Array, "b h w c"], f1):
-    """Expected correspondence from global correlation (`matching.py:7-37`)."""
+    """Expected correspondence from global correlation (`matching.py:7-37`).
+
+    Uses the fused Pallas softmax-expectation kernel on TPU (the (HW, HW)
+    correlation volume never reaches HBM); jnp fallback elsewhere."""
+    from ..ops.pallas import global_correlation_expectation
+
     b, h, w, c = f0.shape
-    corr = (
-        jnp.einsum("bxc,byc->bxy", f0.reshape(b, h * w, c), f1.reshape(b, h * w, c))
-        / (c**0.5)
-    )
-    prob = jax.nn.softmax(corr, axis=-1)
     grid = _coords_grid(h, w).reshape(h * w, 2)
-    correspondence = jnp.einsum("bxy,yd->bxd", prob, grid).reshape(b, h, w, 2)
+    correspondence = global_correlation_expectation(
+        f0.reshape(b, h * w, c), f1.reshape(b, h * w, c), grid
+    ).reshape(b, h, w, 2)
     return correspondence - _coords_grid(h, w)
 
 
