@@ -33,6 +33,10 @@ class BackboneMidasCfg:
     # traffic); geometry and losses stay float32. Depth/feature outputs are
     # cast back to float32.
     compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
+    # Rematerialize the depth net in the backward pass: trades ~1/3 extra
+    # forward FLOPs for a large cut in live activation memory (the 150-frame
+    # reference workload does not fit HBM otherwise).
+    remat: bool = True
 
 
 # Channel width of the penultimate decoder features per model variant
@@ -104,15 +108,14 @@ def apply_midas(
         lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params["midas"]
     )
     if cfg.model == "MiDaS_small":
-        head_out, features = MidasSmall.apply_split(
-            net_params, videos.astype(dtype), mapping=cfg.mapping
-        )
+        net = lambda p, v: MidasSmall.apply_split(p, v, mapping=cfg.mapping)
     else:
         from .dpt_net import DptLarge
 
-        head_out, features = DptLarge.apply_split(
-            net_params, videos.astype(dtype), mapping=cfg.mapping
-        )
+        net = lambda p, v: DptLarge.apply_split(p, v, mapping=cfg.mapping)
+    if cfg.remat:
+        net = jax.checkpoint(net)
+    head_out, features = net(net_params, videos.astype(dtype))
     head_out = head_out.astype(jnp.float32)
     features = features.astype(jnp.float32)
 
