@@ -107,3 +107,27 @@ def scene_table(results: list[dict]) -> str:
     widths = [max(len(str(row[i])) for row in [header] + rows) for i in range(len(header))]
     lines = ["  ".join(str(v).ljust(w) for v, w in zip(row, widths)) for row in [header] + rows]
     return "\n".join(lines)
+
+
+def check_model(sparse_dir: Path) -> dict:
+    """Sanity-check an exported COLMAP model (the reference's
+    `scripts/colmap/check_models.py` role): frame count, finite poses,
+    plausible focal lengths."""
+    sparse_dir = Path(sparse_dir)
+    problems: list[str] = []
+    try:
+        extrinsics, intrinsics, names = read_colmap_model(sparse_dir)
+    except Exception as e:
+        return {"ok": False, "problems": [f"unreadable: {e}"]}
+
+    if len(names) == 0:
+        problems.append("no registered images")
+    if not np.all(np.isfinite(extrinsics)):
+        problems.append("non-finite extrinsics")
+    focals = intrinsics[:, 0, 0]
+    if np.any(focals <= 0.05) or np.any(focals > 20):
+        problems.append(f"implausible focal range [{focals.min()}, {focals.max()}]")
+    dets = np.linalg.det(extrinsics[:, :3, :3])
+    if np.any(np.abs(dets - 1) > 1e-2):
+        problems.append("rotations are not orthonormal")
+    return {"ok": not problems, "problems": problems, "num_images": len(names)}
