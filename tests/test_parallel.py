@@ -105,3 +105,46 @@ def test_data_by_frame_mesh(setup):
         state, shard_batch(batch, mesh), shard_flows(flows, mesh), None
     )
     assert np.isfinite(float(out_metrics["loss/total"]))
+
+
+def test_pretrain_data_parallel():
+    """Pretrain step sharded on the data axis: matches single device."""
+    from flowmap_tpu.model import BackboneMidasCfg, IntrinsicsSoftminCfg
+    from flowmap_tpu.training.pretrain import (
+        PretrainTrainerCfg,
+        init_pretrain_state,
+        make_pretrain_step,
+    )
+    from flowmap_tpu.types import Batch, Flows
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch1, flows1, _ = make_scene(SyntheticSceneCfg(num_frames=4, image_shape=(32, 32)))
+    # Batch of 4 clips (replicate the single scene).
+    videos = jnp.tile(batch1.videos, (4, 1, 1, 1, 1))
+    batch = Batch(videos=videos, indices=jnp.tile(batch1.indices, (4, 1)))
+    flows = jax.tree_util.tree_map(lambda x: jnp.tile(x, (4,) + (1,) * (x.ndim - 1)), flows1)
+
+    model_cfg = ModelCfg(
+        backbone=BackboneMidasCfg(pretrained=False, mapping="exp"),
+        intrinsics=IntrinsicsSoftminCfg(
+            num_procrustes_points=32, num_candidates=4, regression=None
+        ),
+        extrinsics=ExtrinsicsProcrustesCfg(num_points=32),
+    )
+    state, optimizer = init_pretrain_state(model_cfg, PretrainTrainerCfg(lr=1e-4))
+    step = make_pretrain_step(
+        model_cfg, [LossFlowCfg()], optimizer, lambda b, s: flows, jax.random.PRNGKey(3)
+    )
+
+    ref_state, ref_metrics = jax.jit(step)(state, batch, batch)
+
+    mesh = make_mesh(n_data=4, n_frame=2)
+    data_sharded = NamedSharding(mesh, P("data"))
+    batch_s = Batch(
+        videos=jax.device_put(batch.videos, data_sharded),
+        indices=jax.device_put(batch.indices, data_sharded),
+    )
+    out_state, out_metrics = jax.jit(step)(state, batch_s, batch_s)
+    np.testing.assert_allclose(
+        float(out_metrics["loss/total"]), float(ref_metrics["loss/total"]), rtol=1e-4
+    )
