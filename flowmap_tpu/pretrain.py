@@ -122,6 +122,40 @@ def pretrain(cfg: PretrainCfg) -> None:
             pretty = " ".join(f"{k}={v:.5f}" for k, v in sorted(fetched.items()))
             print(f"step {step_index + 1}: {pretty}")
 
+            # Visualization step on the current batch (the reference's
+            # ValidationWrapper yields one random example for the same
+            # purpose, `dataset/validation_wrapper.py`).
+            if cfg.visualizer:
+                from .model.model import forward as model_forward
+                from .visualization import run_visualizers
+
+                flows_vis = flow_fn(
+                    batch_flow, tuple(batch_model.videos.shape[-2:])
+                )
+                output, _ = model_forward(
+                    cfg.model,
+                    state.params,
+                    state.model_state,
+                    batch_model,
+                    flows_vis,
+                    state.step,
+                    jax.random.PRNGKey(0),
+                    train=False,
+                )
+                visuals = run_visualizers(
+                    cfg.visualizer,
+                    batch_model,
+                    flows_vis,
+                    None,
+                    output,
+                    step_index + 1,
+                )
+                for key, value in visuals.items():
+                    if value.ndim == 0:
+                        logger.log_metrics({key: float(value)}, step_index + 1)
+                    else:
+                        logger.log_image(key, value, step_index + 1)
+
         if (step_index + 1) % cfg.checkpoint.every_n_train_steps == 0:
             from .training.checkpoint import save_checkpoint
 
