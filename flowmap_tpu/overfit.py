@@ -136,6 +136,26 @@ def overfit(cfg: OverfitCfg) -> dict:
         colmap_dir,
     )
 
+    # Full artifact set (reference overfit.py:119-147): colmap.zip, raw
+    # exports, final weights.
+    import shutil
+
+    shutil.make_archive(str(Path(cfg.output_dir) / "colmap"), "zip", colmap_dir)
+    np.savez_compressed(
+        Path(cfg.output_dir) / "exports.npz",
+        extrinsics=np.asarray(exports.extrinsics),
+        intrinsics=np.asarray(exports.intrinsics),
+        depths=np.asarray(exports.depths),
+    )
+    from .training.checkpoint import save_params
+
+    save_params(Path(cfg.output_dir) / "final_params", state.params)
+
+    if cfg.local_save_root is not None:
+        dest = Path(cfg.local_save_root) / batch_full.scenes[0]
+        dest.mkdir(parents=True, exist_ok=True)
+        shutil.copy(Path(cfg.output_dir) / "colmap.zip", dest / "colmap.zip")
+
     runtime = {
         "runtime": time.time() - start_time,
         "optimization_runtime": optimization_runtime,
