@@ -151,7 +151,8 @@ def make_train_chunk(train_step: Callable, chunk_size: int) -> Callable:
 
         return jax.lax.scan(body, state, None, length=chunk_size)
 
-    return jax.jit(chunk, static_argnames=())
+    # Donating the carried state lets XLA reuse its buffers across chunks.
+    return jax.jit(chunk, donate_argnums=(0,))
 
 
 def eval_forward(
