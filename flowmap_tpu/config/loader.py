@@ -22,7 +22,7 @@ from typing import Any, Type, TypeVar
 
 import yaml
 
-from .tools import from_dict, separate_multiple_defaults
+from .tools import from_dict
 
 T = TypeVar("T")
 

@@ -23,14 +23,12 @@ matching the frozen-predictor usage.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jaxtyping import Array, Float
 
-from ..ops.grid_sample import grid_sample_2d
 
 NUM_LEVELS = 4
 RADIUS = 4

@@ -28,7 +28,6 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 EMBED_DIM = 1024
 NUM_LAYERS = 24

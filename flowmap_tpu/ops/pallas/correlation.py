@@ -20,8 +20,6 @@ exceed the VMEM budget.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jaxtyping import Array, Float

@@ -16,9 +16,7 @@ from ..types import Tracks, TracksPacked
 from .geometry import (
     earlier,
     get_extrinsics,
-    homogenize_points,
     later,
-    project_camera_space,
     reproject_points,
     rigid_inverse,
     sample_image_grid,

@@ -16,7 +16,6 @@ import sys
 import time
 from pathlib import Path
 
-import jax
 import numpy as np
 
 from .config import OverfitCfg, compose_config
@@ -24,7 +23,6 @@ from .datasets import example_to_batch, get_dataset
 from .export import export_to_colmap
 from .flow import compute_flows
 from .loss import LossTrackingCfg
-from .model.model import export as model_export
 from .tracking import compute_tracks
 from .training.overfit import (
     OverfitTrainerCfg,

@@ -17,7 +17,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .config import PretrainCfg, compose_config
 from .datasets import get_dataset

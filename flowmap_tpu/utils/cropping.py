@@ -13,7 +13,6 @@ from dataclasses import dataclass
 from typing import Union
 
 import jax.numpy as jnp
-import numpy as np
 from PIL import Image
 
 from ..ops.resize import resize_bilinear

@@ -13,7 +13,6 @@ downloaded artifact paths like the reference
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 
 def wandb_available() -> bool:
