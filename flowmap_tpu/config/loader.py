@@ -160,7 +160,32 @@ def compose_config(
 
     for experiment in experiments:
         exp = _load_yaml(config_root / "experiment" / f"{experiment}.yaml")
-        exp = _resolve_defaults(exp, config_root)
+        # Experiment `defaults: - override /group: name` entries REPLACE the
+        # group subtree (the reference's Hydra override packages,
+        # `config/experiment/*.yaml`); the body deep-merges on top.
+        for entry in exp.pop("defaults", []) or []:
+            if entry == "_self_":
+                continue
+            ((key, names),) = entry.items()
+            group = key.removeprefix("override ").lstrip("/")
+            if not isinstance(names, list):
+                names = [names]
+            key_path = group.split("/")
+            multi = len(names) > 1 or key_path[-1] in (
+                "dataset", "loss", "visualizer",
+            )
+            merged_group: dict = {}
+            for name in names:
+                content = _resolve_defaults(
+                    _load_yaml(config_root / group / f"{name}.yaml"), config_root
+                )
+                merged_group = (
+                    deep_merge(merged_group, {name: content}) if multi else content
+                )
+            node = tree
+            for key_part in key_path[:-1]:
+                node = node.setdefault(key_part, {})
+            node[key_path[-1]] = merged_group
         tree = deep_merge(tree, exp)
     tree = deep_merge(tree, overrides)
 
