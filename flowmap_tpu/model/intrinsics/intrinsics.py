@@ -199,15 +199,23 @@ def apply_intrinsics(
         return _focal_to_k(params["focal_length"], batch), state
 
     assert isinstance(cfg, IntrinsicsSoftminCfg)
-    softmin_k, focal_estimate = _softmin_sweep(cfg, batch, flows, backbone_output, key)
-
     if cfg.regression is None:
+        softmin_k, _ = _softmin_sweep(cfg, batch, flows, backbone_output, key)
         return softmin_k, state
 
     step = jnp.asarray(global_step)
-    regressed_k = _focal_to_k(params["focal_length"], batch)
     in_stage2 = step >= cfg.regression.after_step
-    intrinsics = jnp.where(in_stage2, regressed_k, softmin_k)
+
+    # Only the active stage executes (lax.cond): the 60-candidate sweep is
+    # skipped entirely once the focal length is regressed — the reference
+    # switches code paths the same way (`intrinsics_softmin.py:74-82`).
+    def stage1(_):
+        return _softmin_sweep(cfg, batch, flows, backbone_output, key)
+
+    def stage2(_):
+        return _focal_to_k(params["focal_length"], batch), jnp.zeros(())
+
+    intrinsics, focal_estimate = jax.lax.cond(in_stage2, stage2, stage1, None)
 
     # Ring-buffer update of the focal window during the trailing stage-1 steps.
     window = cfg.regression.window
