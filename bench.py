@@ -88,8 +88,19 @@ def main() -> None:
     chunk = make_train_chunk(step, CHUNK_STEPS)
 
     # Warmup: compile + one chunk (reusing the same compiled program).
-    state, metrics = chunk(state, batch, flows, tracks)
+    import sys
+
+    t0 = time.time()
+    lowered = chunk.lower(state, batch, flows, tracks)
+    print(f"# lowered in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"# compiled in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    state, metrics = compiled(state, batch, flows, tracks)
     jax.block_until_ready(metrics["loss/total"])
+    print(f"# warmup chunk in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    chunk = compiled
 
     t0 = time.time()
     for _ in range(TIMED_CHUNKS):
