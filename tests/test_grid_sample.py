@@ -49,7 +49,7 @@ def test_grid_sample_points_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-@pytest.mark.parametrize("shape", [(6, 8), (20, 30), (9, 13)])
+@pytest.mark.parametrize("shape", [(6, 8), (20, 30), (9, 13), (18, 26), (3, 13), (27, 39), (36, 52)])
 def test_resize_matches_torch_interpolate(shape):
     rng = np.random.default_rng(2)
     x = rng.normal(size=(2, 3, 9, 13)).astype(np.float32)
