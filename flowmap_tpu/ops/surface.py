@@ -122,23 +122,58 @@ def compute_track_flow_packed(
 ]:
     """`compute_track_flow` over all packed segments at once.
 
-    Each segment is a dynamic slice of length l starting at `starts[i]`;
-    the per-segment computation is vmapped over the segment axis, so the
-    whole tracking supervision is one uniform XLA subgraph regardless of the
-    number of segments.
+    Formulated as ONE flat bilinear gather: per-segment frame indices are
+    `starts[:, None] + arange(l)`, so surface samples come from a single
+    take over the flattened (f*h*w) table and camera matrices from tiny
+    index gathers. No vmap, no dynamic slices — the backward pass is a
+    single scatter-add instead of per-segment vmapped scatters (which
+    compile and run poorly on TPU).
     """
-    l = packed.xy.shape[2]
+    b, f, h, w, _ = surfaces.shape
+    _, s, l, p, _ = packed.xy.shape
+    assert b == 1, "packed track flow currently supports batch size 1"
 
-    def one_segment(start, xy, visibility):
-        seg = Tracks(xy=xy, visibility=visibility, start_frame=0)
-        return compute_track_flow(
-            jax.lax.dynamic_slice_in_dim(surfaces, start, l, axis=1),
-            jax.lax.dynamic_slice_in_dim(extrinsics, start, l, axis=1),
-            jax.lax.dynamic_slice_in_dim(intrinsics, start, l, axis=1),
-            seg,
-        )
+    frame_idx = packed.starts[:, None] + jnp.arange(l)  # (s, l)
 
-    xy_target, visibility = jax.vmap(
-        one_segment, in_axes=(0, 1, 1), out_axes=1
-    )(packed.starts, packed.xy, packed.visibility)
-    return xy_target, visibility
+    # Bilinear sample surfaces[frame_idx] at the track xy (border padding).
+    x = packed.xy[0, ..., 0] * w - 0.5  # (s, l, p)
+    y = packed.xy[0, ..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    table = surfaces[0].reshape(f * h * w, 3)
+    base = (frame_idx * (h * w))[:, :, None]  # (s, l, 1)
+
+    def corner(yi, xi):
+        flat = (base + yi * w + xi).reshape(-1)
+        return jnp.take(table, flat, axis=0).reshape(s, l, p, 3)
+
+    top = corner(y0i, x0i) * (1 - tx) + corner(y0i, x1i) * tx
+    bottom = corner(y1i, x0i) * (1 - tx) + corner(y1i, x1i) * tx
+    xyz = top * (1 - ty) + bottom * ty  # (s, l, p, 3)
+
+    seg_extrinsics = extrinsics[0][frame_idx]  # (s, l, 4, 4)
+    seg_intrinsics = intrinsics[0][frame_idx]  # (s, l, 3, 3)
+
+    # All-pairs reprojection within each segment: (s, fs, ft, p, ...).
+    relative = jnp.einsum(
+        "stij,sfjk->sftik", rigid_inverse(seg_extrinsics), seg_extrinsics
+    )  # maps source-frame (f) camera space into target-frame (t) space
+    xy_target = reproject_points(
+        xyz[:, :, None], relative[..., None, :, :], seg_intrinsics[:, None, :, None]
+    )  # (s, fs, ft, p, 2)
+
+    visibility = packed.visibility[0]  # (s, l, p)
+    joint = visibility[:, :, None] & visibility[:, None]
+    xy_source = packed.xy[0][:, :, None]  # (s, fs, 1, p, 2)
+    source_in = jnp.all(xy_source >= 0, -1) & jnp.all(xy_source < 1, -1)
+    target_in = jnp.all(xy_target >= 0, -1) & jnp.all(xy_target < 1, -1)
+    out_visibility = joint & source_in & target_in
+
+    return xy_target[None], out_visibility[None]
