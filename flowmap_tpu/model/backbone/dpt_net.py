@@ -191,8 +191,10 @@ def _rcu(p, x):
 
 
 def _upsample2x(x):
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+    # align_corners=True x2 (the DPT fusion blocks' torch Interpolate mode).
+    from .midas_net import _upsample2x as _up_ac
+
+    return _up_ac(x, align_corners=True)
 
 
 def _fusion(p, x, skip=None):
