@@ -14,8 +14,9 @@ configuration):
 Parameters: flat dict keyed by the princeton-vl/RAFT checkpoint names
 (`fnet.*`, `cnet.*`, `update_block.*`); `convert_torch_state_dict` strips the
 `module.` DataParallel prefix. torchvision's `raft_large` weights use a
-different naming scheme — `TORCHVISION_KEY_MAP` documents the rename (the
-architectures are identical).
+different module naming scheme over the identical architecture; its key
+rename is wired up in a follow-up once torchvision is available to validate
+against (this environment ships torch without torchvision).
 
 BatchNorm in cnet uses the checkpoint's running statistics (inference mode),
 matching the frozen-predictor usage.

@@ -81,3 +81,18 @@ def test_grid_sample_gradients():
     d[0, 1, 2, 0] = eps
     num = (f_grid(grid + d) - f_grid(grid - d)) / (2 * eps)
     np.testing.assert_allclose(float(num), float(gg[0, 1, 2, 0]), rtol=2e-2, atol=1e-3)
+
+
+def test_midas_upsample2x_matches_torch_align_corners():
+    from flowmap_tpu.model.backbone.midas_net import _upsample2x
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 5, 7, 3)).astype(np.float32)  # NHWC
+    want = F.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        scale_factor=2,
+        mode="bilinear",
+        align_corners=True,
+    ).numpy()
+    got = np.asarray(_upsample2x(jnp.asarray(x))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
