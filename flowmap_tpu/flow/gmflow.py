@@ -376,7 +376,11 @@ def gmflow_forward(
 
 
 class GMFlowPredictor:
-    """Flow-predictor interface: (b, f, 3, h, w) videos -> normalized flow."""
+    """Flow-predictor interface: (b, f, 3, h, w) videos -> normalized flow.
+
+    Frame pairs are chunked (like the reference's RAFT `max_batch_size`,
+    `flow_predictor_raft.py:34-45`): at flow resolution the swin attention
+    scores for all pairs at once would not fit HBM."""
 
     def __init__(self, cfg) -> None:
         checkpoint = getattr(cfg, "checkpoint", None)
@@ -384,13 +388,28 @@ class GMFlowPredictor:
             self.params = load_params(checkpoint)
         else:
             self.params = init_params(jax.random.PRNGKey(0))
+        self.max_batch_size = getattr(cfg, "max_batch_size", 8)
         self._forward = jax.jit(gmflow_forward)
 
     def __call__(self, videos: Float[Array, "b f 3 h w"]) -> Float[Array, "b p h w 2"]:
         b, f, c, h, w = videos.shape
         source = videos[:, :-1].reshape(b * (f - 1), c, h, w)
         target = videos[:, 1:].reshape(b * (f - 1), c, h, w)
-        flow = self._forward(self.params, source * 255.0, target * 255.0)
+        n = source.shape[0]
+        size = self.max_batch_size
+        # Pad to a multiple of the chunk size so one compiled shape serves
+        # every chunk.
+        padded = -(-n // size) * size
+        if padded != n:
+            pad = padded - n
+            source = jnp.concatenate([source, source[:pad]], axis=0)
+            target = jnp.concatenate([target, target[:pad]], axis=0)
+        chunks = [
+            self._forward(self.params, source[i : i + size] * 255.0,
+                          target[i : i + size] * 255.0)
+            for i in range(0, padded, size)
+        ]
+        flow = jnp.concatenate(chunks, axis=0)[:n]
         wh = jnp.asarray([w, h], videos.dtype)
         return (flow / wh).reshape(b, f - 1, h, w, 2)
 

@@ -37,6 +37,7 @@ class FlowPredictorGMFlowCfg:
     name: Literal["gmflow"] = "gmflow"
     cache_path: Path = Path(".cache/gmflow_checkpoints")
     checkpoint: Optional[Path] = None  # converted gmflow_sintel weights
+    max_batch_size: int = 8
 
 
 @dataclass(frozen=True)
