@@ -89,13 +89,17 @@ def _grid_sample_direct(
     y0c = jnp.clip(y0i, 0, h - 1)
     y1c = jnp.clip(y1i, 0, h - 1)
 
-    # Flatten spatial dims; gather the four corners per batch element.
-    flat = input.reshape(n, c, h * w)
+    # Gather corners CHANNELS-LAST: each descriptor moves a contiguous
+    # c-vector row of the (h*w, c) table instead of a single element — on TPU
+    # this vectorizes the gather (and its scatter-add transpose in the
+    # backward pass) over the lane dimension, which is the difference between
+    # a bandwidth-bound warp and a scalar-bound one.
+    flat = input.transpose(0, 2, 3, 1).reshape(n, h * w, c)
 
     def gather(yi, xi):
         idx = (yi * w + xi).reshape(n, hg * wg)
-        out = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
-        return out.reshape(n, c, hg, wg)
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out.reshape(n, hg, wg, c)
 
     v00 = gather(y0c, x0c)
     v01 = gather(y0c, x1c)
@@ -107,18 +111,19 @@ def _grid_sample_direct(
         def in_bounds(yi, xi):
             return (
                 (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-            ).astype(input.dtype)[:, None]
+            ).astype(input.dtype)[..., None]
 
         v00 = v00 * in_bounds(y0i, x0i)
         v01 = v01 * in_bounds(y0i, x1i)
         v10 = v10 * in_bounds(y1i, x0i)
         v11 = v11 * in_bounds(y1i, x1i)
 
-    tx = tx[:, None]
-    ty = ty[:, None]
+    tx = tx[..., None]
+    ty = ty[..., None]
     top = v00 * (1.0 - tx) + v01 * tx
     bottom = v10 * (1.0 - tx) + v11 * tx
-    return top * (1.0 - ty) + bottom * ty
+    out = top * (1.0 - ty) + bottom * ty  # (n, hg, wg, c)
+    return out.transpose(0, 3, 1, 2)
 
 
 def grid_sample_points(

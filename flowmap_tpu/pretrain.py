@@ -102,6 +102,7 @@ def pretrain(cfg: PretrainCfg) -> None:
             optimizer,
             flow_fn,
             jax.random.PRNGKey(trainer_cfg.seed + 1),
+            cropping_cfg=cfg.cropping,
         ),
         donate_argnums=(0,),
     )
@@ -111,9 +112,7 @@ def pretrain(cfg: PretrainCfg) -> None:
         if step_index >= cfg.trainer.max_steps:
             break
         batch = _dict_to_batch(example)
-        batch_model, _ = crop_and_resize_batch_for_model(batch, cfg.cropping)
-        batch_flow = crop_and_resize_batch_for_flow(batch, cfg.cropping)
-        state, metrics = step_fn(state, batch_model, batch_flow)
+        state, metrics = step_fn(state, batch, batch)
 
         if (step_index + 1) % cfg.trainer.val_check_interval == 0:
             fetched = {k: float(v) for k, v in metrics.items()}
@@ -128,6 +127,10 @@ def pretrain(cfg: PretrainCfg) -> None:
                 from .model.model import forward as model_forward
                 from .visualization import run_visualizers
 
+                batch_model, _ = crop_and_resize_batch_for_model(
+                    batch, cfg.cropping
+                )
+                batch_flow = crop_and_resize_batch_for_flow(batch, cfg.cropping)
                 flows_vis = flow_fn(
                     batch_flow, tuple(batch_model.videos.shape[-2:])
                 )

@@ -75,11 +75,23 @@ def make_pretrain_step(
     optimizer: optax.GradientTransformation,
     flow_fn: FlowFn,
     base_key: jax.Array,
+    cropping_cfg=None,
 ) -> Callable:
     """Build the jitted pretrain update; flow is computed inside the step
-    (frozen predictor — wrapped in stop_gradient)."""
+    (frozen predictor — wrapped in stop_gradient). With `cropping_cfg`, the
+    model/flow crops also happen inside the compiled step (the reference's
+    `preprocess_batch`, `model_wrapper_pretrain.py:46-58`) so the host ships
+    one raw batch per step."""
 
     def pretrain_step(state: PretrainState, batch: Batch, batch_for_flow: Batch):
+        if cropping_cfg is not None:
+            from ..utils.cropping import (
+                crop_and_resize_batch_for_flow,
+                crop_and_resize_batch_for_model,
+            )
+
+            batch_for_flow = crop_and_resize_batch_for_flow(batch, cropping_cfg)
+            batch, _ = crop_and_resize_batch_for_model(batch, cropping_cfg)
         h, w = batch.videos.shape[-2:]
         key = jax.random.fold_in(base_key, state.step)
 
