@@ -164,7 +164,25 @@ def overfit(cfg: OverfitCfg) -> dict:
     return {"state": state, "info": info, "runtime": runtime}
 
 
+def _apply_platform_override() -> None:
+    """Honor FLOWMAP_PLATFORM=cpu|tpu|axon.
+
+    The image's sitecustomize imports jax at interpreter start with
+    JAX_PLATFORMS already pinned, so the usual env var cannot redirect runs
+    to CPU; this hook uses the config (effective until a backend
+    initializes).
+    """
+    import os
+
+    platform = os.environ.get("FLOWMAP_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main() -> None:
+    _apply_platform_override()
     cfg = compose_config("overfit", OverfitCfg, sys.argv[1:])
     overfit(cfg)
 

@@ -166,7 +166,25 @@ def pretrain(cfg: PretrainCfg) -> None:
     print(f"Pretraining done in {time.time() - start:.1f}s -> {cfg.output_dir}")
 
 
+def _apply_platform_override() -> None:
+    """Honor FLOWMAP_PLATFORM=cpu|tpu|axon.
+
+    The image's sitecustomize imports jax at interpreter start with
+    JAX_PLATFORMS already pinned, so the usual env var cannot redirect runs
+    to CPU; this hook uses the config (effective until a backend
+    initializes).
+    """
+    import os
+
+    platform = os.environ.get("FLOWMAP_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main() -> None:
+    _apply_platform_override()
     if jax.process_count() > 1:
         jax.distributed.initialize()
     cfg = compose_config("pretrain", PretrainCfg, sys.argv[1:])
