@@ -31,13 +31,14 @@ import jax.numpy as jnp
 from flax import struct
 from jaxtyping import Array, Float
 
+from ...ops.grid_sample import grid_sample_points
+
 from ...ops.geometry import (
-    compute_backward_flow,
     focal_lengths_to_intrinsics,
+    project_camera_space,
     sample_image_grid,
-    unproject,
 )
-from ...ops.surface import align_surfaces
+from ...ops.procrustes import align_rigid
 from ...types import Batch, BackboneOutput, Flows
 
 
@@ -130,42 +131,72 @@ def _softmin_sweep(
     """Stage-1 softmin over candidate focals (`intrinsics_softmin.py:84-141`).
 
     Returns the mixed intrinsics and the scalar focal estimate for the window.
+
+    Exactly-equivalent rewrite of the reference sweep: every candidate shares
+    the principal point, so candidate surfaces are elementwise scalings
+    diag(1/fx_c, 1/fy_c, 1) of ONE unit-focal base surface, and bilinear
+    sampling commutes with that scaling. One unprojection + one grid sample
+    serve all candidates (the reference repeats both 60x); only the tiny
+    per-candidate Procrustes solves and reprojections remain batched over n.
     """
     b, f, _, h, w = batch.videos.shape
     n = cfg.num_candidates
     dtype = batch.videos.dtype
+    k_points = cfg.num_procrustes_points
 
     candidates = jnp.linspace(
         cfg.min_focal_length, cfg.max_focal_length, n, dtype=dtype
     )
     candidate_k = focal_lengths_to_intrinsics(candidates, (h, w))  # (n, 3, 3)
+    # diag entries of K_c^-1 (zero-skew, shared principal point).
+    inv_scale = jnp.stack(
+        [
+            1.0 / candidate_k[:, 0, 0],
+            1.0 / candidate_k[:, 1, 1],
+            jnp.ones_like(candidates),
+        ],
+        axis=-1,
+    )  # (n, 3)
 
-    indices = jax.random.permutation(key, h * w)[: cfg.num_procrustes_points]
+    indices = jax.random.permutation(key, h * w)[:k_points]
 
-    # Unproject the first two frames under every candidate: (b*n, 2, h, w, 3).
+    # Unit-focal base surfaces for frames 0 and 1.
     xy, _ = sample_image_grid((h, w), dtype=dtype)
-    depths2 = jnp.repeat(backbone_output.depths[:, :2], n, axis=0)  # (b*n, 2, h, w)
-    k_bn = jnp.tile(candidate_k, (b, 1, 1))[:, None, None, None]  # (b*n, 1, 1, 1, 3, 3)
-    surfaces = unproject(xy, depths2, k_bn)
+    dirs = jnp.concatenate([xy - 0.5, jnp.ones_like(xy[..., :1])], axis=-1)
+    base = dirs * backbone_output.depths[:, :2, :, :, None]  # (b, 2, h, w, 3)
 
-    # Align frames 0-1 per candidate with the shared backward flow/weights.
-    flows_bwd01 = jnp.repeat(flows.backward[:, :1], n, axis=0)
-    weights01 = jnp.repeat(backbone_output.weights[:, :1], n, axis=0)
-    extrinsics = align_surfaces(surfaces, flows_bwd01, weights01, indices)
+    # Later-frame (frame 1) points at the sampled pixels.
+    base_later = base[:, 1].reshape(b, h * w, 3)[:, indices]  # (b, k, 3)
 
-    # Pose-induced backward flow at the sampled pixels.
-    surfaces_sub = surfaces.reshape(b * n, 2, h * w, 3)[:, :, indices]
-    k_pair = jnp.tile(candidate_k, (b, 1, 1))[:, None].repeat(2, axis=1)
-    xy_flowed = compute_backward_flow(surfaces_sub, extrinsics, k_pair)
-    xy_flowed = xy_flowed.reshape(b, n, -1, 2)
-
+    # Earlier-frame (frame 0) surface sampled where backward flow lands.
     xy_sub = xy.reshape(h * w, 2)[indices]
-    flow = xy_flowed - xy_sub
+    xy_earlier = (xy + flows.backward[:, 0]).reshape(b, h * w, 2)[:, indices]
+    base_earlier = grid_sample_points(
+        base[:, 0].transpose(0, 3, 1, 2), xy_earlier, padding_mode="border"
+    ).transpose(0, 2, 1)  # (b, k, 3)
 
+    # Scale the shared base points into every candidate's camera space.
+    p_later = base_later[:, None] * inv_scale[None, :, None]  # (b, n, k, 3)
+    p_earlier = base_earlier[:, None] * inv_scale[None, :, None]
+
+    point_weights = backbone_output.weights[:, 0].reshape(b, h * w)[:, indices]
+    rel = align_rigid(
+        p_later, p_earlier, jnp.broadcast_to(point_weights[:, None], (b, n, k_points))
+    )  # (b, n, 4, 4): frame-1 camera space -> frame-0 camera space
+
+    # Induced backward flow: project the aligned later points with K_c.
+    # (With the chain [I, T], the reference's backward transformation for the
+    # single pair reduces to T itself — `projection.py:165-184`.)
+    cam = jnp.einsum(
+        "bnij,bnkj->bnki",
+        rel,
+        jnp.concatenate([p_later, jnp.ones_like(p_later[..., :1])], axis=-1),
+    )[..., :3]
+    xy_flowed = project_camera_space(cam, candidate_k[None, :, None])
+
+    flow = xy_flowed - xy_sub
     flow_gt = flows.backward[:, :1].reshape(b, 1, h * w, 2)[:, :, indices]
-    pixel_weights = backbone_output.weights[:, :1].reshape(b, 1, h * w, 1)[
-        :, :, indices
-    ]
+    pixel_weights = point_weights[:, None, :, None]
 
     error = jnp.sum(jnp.abs((flow - flow_gt) * pixel_weights), axis=(-1, -2))  # (b, n)
 
