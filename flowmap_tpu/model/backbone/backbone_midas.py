@@ -117,7 +117,8 @@ def apply_midas(
         net = jax.checkpoint(net)
     head_out, features = net(net_params, videos.astype(dtype))
     head_out = head_out.astype(jnp.float32)
-    features = features.astype(jnp.float32)
+    # Features stay in the compute dtype through the resize/warp/MLP: the
+    # warp is the biggest gather in the model and bf16 halves its bytes.
 
     if cfg.mapping == "original":
         depths = 1e3 / (head_out + 0.1)
@@ -140,8 +141,11 @@ def apply_midas(
         ).reshape(b, f - 1, c, h, w)
         feats = jnp.concatenate([warped, later(features)], axis=2)
         feats = jnp.moveaxis(feats, 2, -1)  # b p h w c
-        weights = jax.nn.sigmoid(_apply_weight_mlp(params["corr_weighter"], feats))
-        weights = jnp.clip(weights[..., 0], min=1e-4)
+        mlp_params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype), params["corr_weighter"]
+        )
+        logits = _apply_weight_mlp(mlp_params, feats).astype(jnp.float32)
+        weights = jnp.clip(jax.nn.sigmoid(logits)[..., 0], min=1e-4)
     else:
         weights = jax.nn.sigmoid(cfg.weight_sensitivity * params["weights"])[None]
 
