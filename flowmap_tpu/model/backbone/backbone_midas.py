@@ -37,6 +37,13 @@ class BackboneMidasCfg:
     # forward FLOPs for a large cut in live activation memory (the 150-frame
     # reference workload does not fit HBM otherwise).
     remat: bool = True
+    # Feature-warp implementation. "matmul" = gather-free windowed one-hot
+    # matmuls (ops/warp.py) — ~2 orders of magnitude faster on TPU, exact
+    # while vertical flow displacements stay within warp_radius pixels
+    # (callers size the radius from the actual flow field). "gather" = the
+    # torch-semantics grid_sample (any displacement).
+    warp_impl: Literal["matmul", "gather"] = "matmul"
+    warp_radius: int = 16
 
 
 # Channel width of the penultimate decoder features per model variant
@@ -134,11 +141,18 @@ def apply_midas(
         xy, _ = sample_image_grid((h, w), dtype=videos.dtype)
         grid = (xy + flows.backward) * 2.0 - 1.0  # (b, f-1, h, w, 2)
         c = features.shape[2]
-        warped = grid_sample_2d(
-            earlier(features).reshape(b * (f - 1), c, h, w),
-            grid.reshape(b * (f - 1), h, w, 2),
-            padding_mode="zeros",
-        ).reshape(b, f - 1, c, h, w)
+        flat_feats = earlier(features).reshape(b * (f - 1), c, h, w)
+        flat_grid = grid.reshape(b * (f - 1), h, w, 2)
+        if cfg.warp_impl == "matmul":
+            from ...ops.warp import warp_bilinear_matmul
+
+            warped = warp_bilinear_matmul(
+                flat_feats, flat_grid.astype(flat_feats.dtype),
+                radius=cfg.warp_radius,
+            )
+        else:
+            warped = grid_sample_2d(flat_feats, flat_grid, padding_mode="zeros")
+        warped = warped.reshape(b, f - 1, c, h, w)
         feats = jnp.concatenate([warped, later(features)], axis=2)
         feats = jnp.moveaxis(feats, 2, -1)  # b p h w c
         mlp_params = jax.tree_util.tree_map(

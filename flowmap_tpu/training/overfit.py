@@ -184,6 +184,22 @@ def eval_forward(
     return output
 
 
+def _autosize_warp_radius(model_cfg: ModelCfg, flows: Flows, height: int) -> ModelCfg:
+    import dataclasses
+
+    import numpy as np
+
+    backbone = model_cfg.backbone
+    if getattr(backbone, "warp_impl", None) != "matmul":
+        return model_cfg
+    from ..ops.warp import radius_for_flows
+
+    radius = radius_for_flows(np.asarray(flows.backward[..., 1]), height)
+    return dataclasses.replace(
+        model_cfg, backbone=dataclasses.replace(backbone, warp_radius=radius)
+    )
+
+
 def run_overfit(
     model_cfg: ModelCfg,
     loss_cfgs: Sequence[LossCfg],
@@ -225,6 +241,10 @@ def run_overfit(
         from ..tracking import pack_tracks
 
         tracks = pack_tracks(list(tracks), f)
+
+    # Size the matmul-warp window from the actual flow field so the warp is
+    # exact for this scene (ops/warp.py).
+    model_cfg = _autosize_warp_radius(model_cfg, flows, h)
     key = jax.random.PRNGKey(trainer_cfg.seed + 1)
     train_step = make_train_step(model_cfg, loss_cfgs, optimizer, key)
 
