@@ -85,18 +85,25 @@ def warp_bilinear_matmul(
         x_nhwc, ((0, 0), (radius, radius + 1), (0, 0), (0, 0))
     )  # (n, h + 2r + 1, w, c)
 
-    out = jnp.zeros((n, h, wg, c), dtype=input.dtype)
-    for d in range(2 * radius + 2):
-        # Source rows i + (d - radius) for every output row i.
-        shifted = padded[:, d : d + h]  # (n, h, w, c) — static slice
+    # Scan over window slots with a rematerialized body: without remat the
+    # backward pass keeps every slot's (n, h, wg, c) matmul output live at
+    # once (34 x 745 MB at reference scale — OOM). Recomputing each slot's
+    # matmul in the backward costs ~2x warp FLOPs, still negligible.
+    import jax
+
+    def slot(out, d):
+        shifted = jax.lax.dynamic_slice_in_dim(padded, d, h, axis=1)
         weight = (
             jnp.where(dy0 == d, w0, 0.0) + jnp.where(dy0 + 1 == d, w1, 0.0)
         )[..., None]  # (n, h, wg, 1)
-        # Column interpolation on the MXU; skip work when the whole slot is
-        # unused (XLA DCEs multiplies by literal zero only, so keep the sum).
         contrib = jnp.einsum(
             "nhjx,nhxc->nhjc", wx, shifted, preferred_element_type=input.dtype
         )
-        out = out + weight * contrib
+        return out + weight * contrib, None
+
+    out = jnp.zeros((n, h, wg, c), dtype=input.dtype)
+    out, _ = jax.lax.scan(
+        jax.checkpoint(slot), out, jnp.arange(2 * radius + 2, dtype=jnp.int32)
+    )
 
     return out.transpose(0, 3, 1, 2)
