@@ -95,7 +95,7 @@ def warp_bilinear_matmul(
         shifted = jax.lax.dynamic_slice_in_dim(padded, d, h, axis=1)
         weight = (
             jnp.where(dy0 == d, w0, 0.0) + jnp.where(dy0 + 1 == d, w1, 0.0)
-        )[..., None]  # (n, h, wg, 1)
+        )[..., None].astype(input.dtype)  # (n, h, wg, 1)
         contrib = jnp.einsum(
             "nhjx,nhxc->nhjc", wx, shifted, preferred_element_type=input.dtype
         )
