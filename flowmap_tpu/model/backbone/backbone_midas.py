@@ -37,12 +37,13 @@ class BackboneMidasCfg:
     # forward FLOPs for a large cut in live activation memory (the 150-frame
     # reference workload does not fit HBM otherwise).
     remat: bool = True
-    # Feature-warp implementation. "matmul" = gather-free windowed one-hot
-    # matmuls (ops/warp.py) — ~2 orders of magnitude faster on TPU, exact
-    # while vertical flow displacements stay within warp_radius pixels
-    # (callers size the radius from the actual flow field). "gather" = the
-    # torch-semantics grid_sample (any displacement).
-    warp_impl: Literal["matmul", "gather"] = "matmul"
+    # Feature-warp implementation. "pallas" = fused VMEM kernel
+    # (ops/pallas/warp_kernel.py, fastest; no gradient to the frozen flow);
+    # "matmul" = gather-free windowed one-hot matmuls (ops/warp.py);
+    # "gather" = torch-semantics grid_sample (any displacement). The
+    # pallas/matmul paths are exact while vertical flow displacements stay
+    # within warp_radius pixels (callers size the radius from the flow).
+    warp_impl: Literal["pallas", "matmul", "gather"] = "pallas"
     warp_radius: int = 16
 
 
@@ -143,7 +144,15 @@ def apply_midas(
         c = features.shape[2]
         flat_feats = earlier(features).reshape(b * (f - 1), c, h, w)
         flat_grid = grid.reshape(b * (f - 1), h, w, 2)
-        if cfg.warp_impl == "matmul":
+        if cfg.warp_impl == "pallas":
+            from ...ops.pallas.warp_kernel import warp_features
+
+            warped = warp_features(
+                flat_feats,
+                jax.lax.stop_gradient(flat_grid.astype(flat_feats.dtype)),
+                cfg.warp_radius,
+            )
+        elif cfg.warp_impl == "matmul":
             from ...ops.warp import warp_bilinear_matmul
 
             warped = warp_bilinear_matmul(

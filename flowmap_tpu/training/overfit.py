@@ -190,7 +190,7 @@ def _autosize_warp_radius(model_cfg: ModelCfg, flows: Flows, height: int) -> Mod
     import numpy as np
 
     backbone = model_cfg.backbone
-    if getattr(backbone, "warp_impl", None) != "matmul":
+    if getattr(backbone, "warp_impl", None) not in ("matmul", "pallas"):
         return model_cfg
     from ..ops.warp import radius_for_flows
 
