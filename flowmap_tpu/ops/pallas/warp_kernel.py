@@ -7,21 +7,24 @@ one-hot matmul rewrite re-reads its (n, h, wg, w) selection matrix from HBM
 once per window slot (1.3 s/step). This kernel generates the selection
 weights in VMEM, so HBM traffic is just features in + outputs out.
 
-Structure: one program per (frame pair, block of output rows). The pair's
-whole padded feature map sits in VMEM (bf16 at reference scale: ~5.6 MB);
-each output row builds its column-interpolation matrix (wg x w) from an iota
-comparison and accumulates `row_weight_d * (Wx @ F[row + d])` over the
-2*radius + 2 vertical window slots on the MXU.
+Structure: one program per (frame pair, block of output rows). The feature
+rows the block can touch ([base - R, base + block + R]) are DMA'd from HBM
+into a VMEM scratch (manual async copy — the window overlaps between
+programs, which BlockSpec tiling can't express); each output row builds its
+column-interpolation matrix (wg x w) from an iota comparison and accumulates
+`row_weight_d * (Wx @ F[row + d])` over the 2*radius + 2 window slots on the
+MXU.
 
 Gradient: `warp_features` is a custom-vjp op whose backward computes ONLY the
 feature cotangent (the sampling grid comes from the precomputed frozen
 optical flow and is never differentiated; its cotangent is returned as
 zeros). The feature-grad kernel has the transposed structure: per source-row
-block, dF[y] += Wx^T @ (row_weight * g[i]) over output rows i in the window.
+block, dF[y] += Wx[i]^T @ (row_weight * g[i]) over output rows i in the
+window.
 
 Off-TPU the op falls back to the XLA matmul formulation (`ops/warp.py`),
-which is numerically identical; parity is tested in
-tests/test_warp_kernel.py (interpret mode on CPU).
+which is numerically identical; parity is tested in interpret mode on CPU
+(tests/test_warp_kernel.py).
 """
 
 from __future__ import annotations
@@ -51,14 +54,26 @@ def _sample_params(grid, h, w, radius):
     )
 
 
-def _forward_kernel(block, radius, x0_ref, tx_ref, y0_ref, ty_ref, f_ref, out_ref):
+def _forward_kernel(
+    block, radius, x0_ref, tx_ref, y0_ref, ty_ref, f_hbm, out_ref, f_vmem, sem
+):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     window = 2 * radius + 2
     wg = x0_ref.shape[-1]
-    w = f_ref.shape[-2]
+    w = f_vmem.shape[-2]
+    i = pl.program_id(0)
     j = pl.program_id(1)
     base = j * block
+
+    # DMA the row window [base, base + block + window - 1) of the padded
+    # features for this pair into VMEM.
+    copy = pltpu.make_async_copy(
+        f_hbm.at[i, pl.ds(base, block + window - 1)], f_vmem, sem
+    )
+    copy.start()
+    copy.wait()
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
 
@@ -72,38 +87,42 @@ def _forward_kernel(block, radius, x0_ref, tx_ref, y0_ref, ty_ref, f_ref, out_re
         wx = (
             jnp.where(cols == x0b, (1.0 - tx)[:, None], 0.0)
             + jnp.where(cols == x0b + 1, tx[:, None], 0.0)
-        ).astype(f_ref.dtype)
+        ).astype(f_vmem.dtype)
 
-        # Source row of window slot d = (base + r) + d - radius; y0's slot:
+        # Window slot d holds source row (base + r) + d - radius, which is
+        # f_vmem row r + d; y0's slot:
         slot0 = y0 - (base + r) + radius  # (wg,) int
-        out_row = (base + r) * 1  # for bounds masks baked into weights below
 
-        acc = jnp.zeros((wg, f_ref.shape[-1]), jnp.float32)
+        acc = jnp.zeros((wg, f_vmem.shape[-1]), jnp.float32)
         for d in range(window):
             w0 = jnp.where(slot0 == d, 1.0 - ty, 0.0)
             w1 = jnp.where(slot0 + 1 == d, ty, 0.0)
             weight = (w0 + w1).astype(jnp.float32)
-            row = f_ref[0, base + r + d]  # (w, c); padded so always in range
+            row = f_vmem[r + d]  # (w, c)
             contrib = jnp.dot(wx, row, preferred_element_type=jnp.float32)
             acc = acc + weight[:, None] * contrib
         out_ref[0, r] = acc.astype(out_ref.dtype)
-        del out_row
 
 
-def _grad_kernel(block, radius, x0_ref, tx_ref, y0_ref, ty_ref, g_ref, df_ref):
-    """Feature cotangent: df[y] = sum_i Wx[i]^T @ (weight_{y-slot}(i) * g[i]).
-
-    g_ref holds the padded cotangent rows [y - R - 1, y + R + block); for
-    source row y (= base + r), output row i contributes when y0(i) == y
-    (weight 1 - ty) or y0(i) == y - 1 (weight ty).
-    """
+def _grad_kernel(
+    block, radius, x0_ref, tx_ref, y0_ref, ty_ref, g_hbm, df_ref, g_vmem, sem
+):
+    """Feature cotangent; see module docstring."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     window = 2 * radius + 2
     wg = x0_ref.shape[-1]
     w = df_ref.shape[-2]
+    i = pl.program_id(0)
     j = pl.program_id(1)
     base = j * block
+
+    copy = pltpu.make_async_copy(
+        g_hbm.at[i, pl.ds(base, block + window - 1)], g_vmem, sem
+    )
+    copy.start()
+    copy.wait()
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
 
@@ -111,15 +130,13 @@ def _grad_kernel(block, radius, x0_ref, tx_ref, y0_ref, ty_ref, g_ref, df_ref):
         y = base + r  # source row
         acc = jnp.zeros((w, df_ref.shape[-1]), jnp.float32)
         for d in range(window):
-            # Contributing output rows i = y - radius - 1 + d; with the
-            # (radius + 1)-row top padding their padded index is base + r + d.
-            i_rel = base + r + d
-            x0 = x0_ref[0, i_rel]
-            tx = tx_ref[0, i_rel]
-            y0 = y0_ref[0, i_rel]
-            ty = ty_ref[0, i_rel]
-            # Absolute output row for this slot:
-            i_abs = y - radius - 1 + d
+            # Contributing output rows i_abs = y - radius - 1 + d; with the
+            # (radius + 1)-row top padding, padded row = base + r + d, which
+            # is g_vmem row r + d.
+            x0 = x0_ref[0, base + r + d]
+            tx = tx_ref[0, base + r + d]
+            y0 = y0_ref[0, base + r + d]
+            ty = ty_ref[0, base + r + d]
             w0 = jnp.where(y0 == y, 1.0 - ty, 0.0)
             w1 = jnp.where(y0 == y - 1, ty, 0.0)
             weight = (w0 + w1).astype(jnp.float32)
@@ -128,21 +145,19 @@ def _grad_kernel(block, radius, x0_ref, tx_ref, y0_ref, ty_ref, g_ref, df_ref):
             wx = (
                 jnp.where(cols == x0b, (1.0 - tx)[:, None], 0.0)
                 + jnp.where(cols == x0b + 1, tx[:, None], 0.0)
-            ).astype(g_ref.dtype)
+            ).astype(g_vmem.dtype)
 
-            g_row = g_ref[0, i_rel]  # (wg, c)
+            g_row = g_vmem[r + d]  # (wg, c)
             weighted = (weight[:, None] * g_row.astype(jnp.float32)).astype(
-                g_ref.dtype
+                g_vmem.dtype
             )
-            acc = acc + jnp.dot(
-                wx.T, weighted, preferred_element_type=jnp.float32
-            )
-            del i_abs
+            acc = acc + jnp.dot(wx.T, weighted, preferred_element_type=jnp.float32)
         df_ref[0, r] = acc.astype(df_ref.dtype)
 
 
 def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     n, h, w, c = features_nhwc.shape
     wg = x0.shape[-1]
@@ -150,10 +165,7 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
     block = _BLOCK_ROWS
     assert h % block == 0, (h, block)
 
-    padded = jnp.pad(
-        features_nhwc, ((0, 0), (radius, radius + 1), (0, 0), (0, 0))
-    )
-    hp = h + window - 1
+    padded = jnp.pad(features_nhwc, ((0, 0), (radius, radius + 1), (0, 0), (0, 0)))
 
     kernel = functools.partial(_forward_kernel, block, radius)
     return pl.pallas_call(
@@ -165,22 +177,27 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
             pl.BlockSpec((1, block, wg), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block, wg), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block, wg), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, hp, w, c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded features (HBM)
         ],
         out_specs=pl.BlockSpec((1, block, wg, c), lambda i, j: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block + window - 1, w, c), features_nhwc.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )(x0, tx, y0, ty, padded)
 
 
 def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c, dtype):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     n = g_nhwc.shape[0]
     wg = x0.shape[-1]
     window = 2 * radius + 2
     block = _BLOCK_ROWS
 
-    # Pad cotangents and params so source row y reads output rows
-    # [y - radius - 1, y + radius].
+    # Pad cotangents/params so source row y sees output rows
+    # [y - radius - 1, y + radius]; sentinel params never match any row.
     pad_rows = ((0, 0), (radius + 1, radius), (0, 0))
     g_pad = jnp.pad(g_nhwc, pad_rows + ((0, 0),))
     x0_pad = jnp.pad(x0, pad_rows, constant_values=-10)
@@ -199,9 +216,13 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c, dtype):
             pl.BlockSpec((1, hp, wg), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, hp, wg), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, hp, wg), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, hp, wg, c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded cotangents (HBM)
         ],
         out_specs=pl.BlockSpec((1, block, w, c), lambda i, j: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block + window - 1, wg, c), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )(x0_pad, tx_pad, y0_pad, ty_pad, g_pad)
 
 
