@@ -159,16 +159,21 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, h, w, c = features_nhwc.shape
+    n, h, w, c_in = features_nhwc.shape
     wg = x0.shape[-1]
     window = 2 * radius + 2
     block = _BLOCK_ROWS
     assert h % block == 0, (h, block)
 
-    padded = jnp.pad(features_nhwc, ((0, 0), (radius, radius + 1), (0, 0), (0, 0)))
+    # DMA slices must be lane-aligned: pad channels to a multiple of 128.
+    c = c_in + ((-c_in) % 128)
+    padded = jnp.pad(
+        features_nhwc,
+        ((0, 0), (radius, radius + 1), (0, 0), (0, c - c_in)),
+    )
 
     kernel = functools.partial(_forward_kernel, block, radius)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, wg, c), features_nhwc.dtype),
         grid=(n, h // block),
@@ -185,9 +190,10 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
             pltpu.SemaphoreType.DMA,
         ],
     )(x0, tx, y0, ty, padded)
+    return out[..., :c_in]
 
 
-def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c, dtype):
+def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -195,11 +201,12 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c, dtype):
     wg = x0.shape[-1]
     window = 2 * radius + 2
     block = _BLOCK_ROWS
+    c = c_in + ((-c_in) % 128)
 
     # Pad cotangents/params so source row y sees output rows
     # [y - radius - 1, y + radius]; sentinel params never match any row.
     pad_rows = ((0, 0), (radius + 1, radius), (0, 0))
-    g_pad = jnp.pad(g_nhwc, pad_rows + ((0, 0),))
+    g_pad = jnp.pad(g_nhwc, pad_rows + ((0, c - c_in),))
     x0_pad = jnp.pad(x0, pad_rows, constant_values=-10)
     tx_pad = jnp.pad(tx, pad_rows)
     y0_pad = jnp.pad(y0, pad_rows, constant_values=-(10 + h))
@@ -207,7 +214,7 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c, dtype):
     hp = h + window - 1
 
     kernel = functools.partial(_grad_kernel, block, radius)
-    return pl.pallas_call(
+    df = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dtype),
         grid=(n, h // block),
@@ -224,6 +231,7 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c, dtype):
             pltpu.SemaphoreType.DMA,
         ],
     )(x0_pad, tx_pad, y0_pad, ty_pad, g_pad)
+    return df[..., :c_in]
 
 
 def _on_tpu() -> bool:
