@@ -55,103 +55,140 @@ def _sample_params(grid, h, w, radius):
 
 
 def _forward_kernel(
-    block, radius, x0_ref, tx_ref, y0_ref, ty_ref, f_hbm, out_ref, f_vmem, sem
+    block, radius, w, x0_ref, tx_ref, y0_ref, ty_ref, f_hbm, out_ref, f_vmem, sem
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     window = 2 * radius + 2
     wg = x0_ref.shape[-1]
-    w = f_vmem.shape[-2]
     i = pl.program_id(0)
     j = pl.program_id(1)
     base = j * block
 
     # DMA the row window [base, base + block + window - 1) of the padded
-    # features for this pair into VMEM.
+    # features for this pair into VMEM. The features arrive row-flattened
+    # ((n, hp*w, c)) so the kernel can take 2D window slices without any
+    # in-kernel reshape (Mosaic rejects most vector shape casts).
     copy = pltpu.make_async_copy(
-        f_hbm.at[i, pl.ds(base, block + window - 1)], f_vmem, sem
+        f_hbm.at[i, pl.ds(base * w, (block + window - 1) * w)], f_vmem, sem
     )
     copy.start()
     copy.wait()
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
+    # One MXU call per output row: a (wg, window*w) weight matrix with the 4
+    # bilinear corners one-hot against the FLATTENED window rows, contracted
+    # against the flattened scratch. 34 tiny masked dots -> 1 large dot.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wg, window * w), 1)
 
     for r in range(block):
-        x0 = x0_ref[0, r, :]
-        tx = tx_ref[0, r, :]
-        y0 = y0_ref[0, r, :]
-        ty = ty_ref[0, r, :]
-
-        x0b = x0[:, None]
-        wx = (
-            jnp.where(cols == x0b, (1.0 - tx)[:, None], 0.0)
-            + jnp.where(cols == x0b + 1, tx[:, None], 0.0)
-        ).astype(f_vmem.dtype)
+        x0 = x0_ref[0, r, :][:, None]
+        tx = tx_ref[0, r, :][:, None]
+        y0 = y0_ref[0, r, :][:, None]
+        ty = ty_ref[0, r, :][:, None]
 
         # Window slot d holds source row (base + r) + d - radius, which is
-        # f_vmem row r + d; y0's slot:
-        slot0 = y0 - (base + r) + radius  # (wg,) int
+        # f_vmem row r + d; y0's slot (may fall outside [0, window) -> its
+        # flat index falls outside [0, window*w) and matches nothing, which
+        # is the vertical zero-padding: padded scratch rows are zero anyway).
+        slot0 = y0 - (base + r) + radius
 
-        acc = jnp.zeros((wg, f_vmem.shape[-1]), jnp.float32)
-        for d in range(window):
-            w0 = jnp.where(slot0 == d, 1.0 - ty, 0.0)
-            w1 = jnp.where(slot0 + 1 == d, ty, 0.0)
-            weight = (w0 + w1).astype(jnp.float32)
-            row = f_vmem[r + d]  # (w, c)
-            contrib = jnp.dot(wx, row, preferred_element_type=jnp.float32)
-            acc = acc + weight[:, None] * contrib
+        # Horizontal "zeros" padding: an out-of-image x must be masked to a
+        # sentinel, else slot*w + x aliases a neighbouring row's column.
+        okx0 = (x0 >= 0) & (x0 <= w - 1)
+        okx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+        i00 = jnp.where(okx0, slot0 * w + x0, -1)
+        i01 = jnp.where(okx1, slot0 * w + x0 + 1, -1)
+        i10 = jnp.where(okx0, (slot0 + 1) * w + x0, -1)
+        i11 = jnp.where(okx1, (slot0 + 1) * w + x0 + 1, -1)
+
+        # Arithmetic one-hot (max(0, 1 - |cols - idx|), exact for integer
+        # deltas in f32): wide boolean masks trip a Mosaic relayout bug.
+        def onehot(idx):
+            delta = (cols - idx).astype(jnp.float32)
+            return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
+
+        wmat = (
+            onehot(i00) * ((1.0 - ty) * (1.0 - tx))
+            + onehot(i01) * ((1.0 - ty) * tx)
+            + onehot(i10) * (ty * (1.0 - tx))
+            + onehot(i11) * (ty * tx)
+        ).astype(f_vmem.dtype)
+
+        window_flat = f_vmem[r * w : (r + window) * w]
+        acc = jnp.dot(wmat, window_flat, preferred_element_type=jnp.float32)
         out_ref[0, r] = acc.astype(out_ref.dtype)
 
 
 def _grad_kernel(
-    block, radius, x0_ref, tx_ref, y0_ref, ty_ref, g_hbm, df_ref, g_vmem, sem
+    block,
+    radius,
+    wg,
+    x0_ref,
+    tx_ref,
+    y0_ref,
+    ty_ref,
+    g_hbm,
+    df_ref,
+    g_vmem,
+    w_vmem,
+    sem,
 ):
     """Feature cotangent; see module docstring."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     window = 2 * radius + 2
-    wg = x0_ref.shape[-1]
     w = df_ref.shape[-2]
     i = pl.program_id(0)
     j = pl.program_id(1)
     base = j * block
 
+    # Cotangents arrive row-flattened ((n, hp*wg, c)); see forward kernel.
     copy = pltpu.make_async_copy(
-        g_hbm.at[i, pl.ds(base, block + window - 1)], g_vmem, sem
+        g_hbm.at[i, pl.ds(base * wg, (block + window - 1) * wg)], g_vmem, sem
     )
     copy.start()
     copy.wait()
 
+    # Transposed flattened form: df[y] = W^T_flat(window*wg, w) contracted
+    # (dim 0) with g_window_flat(window*wg, c) — one MXU call per source row.
+    # The weight matrix is built slot-by-slot into a VMEM scratch (each slot
+    # is a (wg, w) lane-iota one-hot, the only 2D orientation Mosaic's
+    # layout inference accepts here).
     cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
+
+    def hit(delta_int):
+        delta = delta_int.astype(jnp.float32)
+        return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
 
     for r in range(block):
         y = base + r  # source row
-        acc = jnp.zeros((w, df_ref.shape[-1]), jnp.float32)
-        for d in range(window):
-            # Contributing output rows i_abs = y - radius - 1 + d; with the
-            # (radius + 1)-row top padding, padded row = base + r + d, which
-            # is g_vmem row r + d.
-            x0 = x0_ref[0, base + r + d]
-            tx = tx_ref[0, base + r + d]
-            y0 = y0_ref[0, base + r + d]
-            ty = ty_ref[0, base + r + d]
-            w0 = jnp.where(y0 == y, 1.0 - ty, 0.0)
-            w1 = jnp.where(y0 == y - 1, ty, 0.0)
-            weight = (w0 + w1).astype(jnp.float32)
 
-            x0b = x0[:, None]
-            wx = (
-                jnp.where(cols == x0b, (1.0 - tx)[:, None], 0.0)
-                + jnp.where(cols == x0b + 1, tx[:, None], 0.0)
-            ).astype(g_vmem.dtype)
+        def build(d, carry):
+            # Contributing output row i_abs = y - radius - 1 + d; with the
+            # (radius + 1)-row top padding, padded param row = base + r + d.
+            x0 = x0_ref[0, base + r + d, :][:, None]
+            tx = tx_ref[0, base + r + d, :][:, None]
+            y0 = y0_ref[0, base + r + d, :][:, None]
+            ty = ty_ref[0, base + r + d, :][:, None]
+            wy = hit(y0 - y) * (1.0 - ty) + hit(y0 - (y - 1)) * ty
+            wd = (
+                hit(cols - x0) * (wy * (1.0 - tx))
+                + hit(cols - (x0 + 1)) * (wy * tx)
+            ).astype(w_vmem.dtype)
+            w_vmem[pl.ds(d * wg, wg)] = wd
+            return carry
 
-            g_row = g_vmem[r + d]  # (wg, c)
-            weighted = (weight[:, None] * g_row.astype(jnp.float32)).astype(
-                g_vmem.dtype
-            )
-            acc = acc + jnp.dot(wx.T, weighted, preferred_element_type=jnp.float32)
+        jax.lax.fori_loop(0, window, build, 0)
+
+        g_flat = g_vmem[r * wg : (r + window) * wg]
+        acc = jax.lax.dot_general(
+            w_vmem[...],
+            g_flat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         df_ref[0, r] = acc.astype(df_ref.dtype)
 
 
@@ -167,12 +204,13 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
 
     # DMA slices must be lane-aligned: pad channels to a multiple of 128.
     c = c_in + ((-c_in) % 128)
+    hp = h + window - 1
     padded = jnp.pad(
         features_nhwc,
         ((0, 0), (radius, radius + 1), (0, 0), (0, c - c_in)),
-    )
+    ).reshape(n, hp * w, c)
 
-    kernel = functools.partial(_forward_kernel, block, radius)
+    kernel = functools.partial(_forward_kernel, block, radius, w)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, wg, c), features_nhwc.dtype),
@@ -186,7 +224,7 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
         ],
         out_specs=pl.BlockSpec((1, block, wg, c), lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block + window - 1, w, c), features_nhwc.dtype),
+            pltpu.VMEM(((block + window - 1) * w, c), features_nhwc.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(x0, tx, y0, ty, padded)
@@ -206,14 +244,14 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
     # Pad cotangents/params so source row y sees output rows
     # [y - radius - 1, y + radius]; sentinel params never match any row.
     pad_rows = ((0, 0), (radius + 1, radius), (0, 0))
-    g_pad = jnp.pad(g_nhwc, pad_rows + ((0, c - c_in),))
+    hp = h + window - 1
+    g_pad = jnp.pad(g_nhwc, pad_rows + ((0, c - c_in),)).reshape(n, hp * wg, c)
     x0_pad = jnp.pad(x0, pad_rows, constant_values=-10)
     tx_pad = jnp.pad(tx, pad_rows)
     y0_pad = jnp.pad(y0, pad_rows, constant_values=-(10 + h))
     ty_pad = jnp.pad(ty, pad_rows)
-    hp = h + window - 1
 
-    kernel = functools.partial(_grad_kernel, block, radius)
+    kernel = functools.partial(_grad_kernel, block, radius, wg)
     df = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dtype),
@@ -227,7 +265,8 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
         ],
         out_specs=pl.BlockSpec((1, block, w, c), lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block + window - 1, wg, c), dtype),
+            pltpu.VMEM(((block + window - 1) * wg, c), dtype),
+            pltpu.VMEM((window * wg, w), dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(x0_pad, tx_pad, y0_pad, ty_pad, g_pad)
