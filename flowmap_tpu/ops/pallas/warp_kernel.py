@@ -54,32 +54,53 @@ def _sample_params(grid, h, w, radius):
     )
 
 
+def _hit(delta_int):
+    """Arithmetic one-hot — max(0, 1 - |delta|), exact for integer deltas in
+    f32. Wide boolean masks trip a Mosaic relayout bug, so no `==` anywhere."""
+    delta = delta_int.astype(jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
+
+
 def _forward_kernel(
-    block, radius, w, x0_ref, tx_ref, y0_ref, ty_ref, f_hbm, out_ref, f_vmem, sem
+    block,
+    radius,
+    c,
+    x0_ref,
+    tx_ref,
+    y0_ref,
+    ty_ref,
+    f_hbm,
+    out_ref,
+    f_vmem,
+    o_vmem,
+    sem,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     window = 2 * radius + 2
     wg = x0_ref.shape[-1]
+    w = f_vmem.shape[0]
     i = pl.program_id(0)
     j = pl.program_id(1)
     base = j * block
 
-    # DMA the row window [base, base + block + window - 1) of the padded
-    # features for this pair into VMEM. The features arrive row-flattened
-    # ((n, hp*w, c)) so the kernel can take 2D window slices without any
-    # in-kernel reshape (Mosaic rejects most vector shape casts).
+    # The bilinear weight matrix is separable: W[j, (d, x)] = wy[j, d] *
+    # wx[j, x]. Exploit it by (1) one MXU call per output row against a
+    # COLUMN-MAJOR feature window F2[x, (slot, ch)] — giving every window
+    # slot's column-interpolated row at once — then (2) a cheap
+    # `sum_d wy[:, d] * out2[:, d*c:(d+1)*c]` accumulation. This avoids
+    # materializing the (wg, window*w) one-hot, which is ~20x the VPU work.
+    #
+    # Features arrive column-flattened ((n, w, hp*c)); DMA the slot window
+    # [base, base + block + window - 1) (a lane slice, c-aligned) into VMEM.
     copy = pltpu.make_async_copy(
-        f_hbm.at[i, pl.ds(base * w, (block + window - 1) * w)], f_vmem, sem
+        f_hbm.at[i, :, pl.ds(base * c, (block + window - 1) * c)], f_vmem, sem
     )
     copy.start()
     copy.wait()
 
-    # One MXU call per output row: a (wg, window*w) weight matrix with the 4
-    # bilinear corners one-hot against the FLATTENED window rows, contracted
-    # against the flattened scratch. 34 tiny masked dots -> 1 large dot.
-    cols = jax.lax.broadcasted_iota(jnp.int32, (wg, window * w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
 
     for r in range(block):
         x0 = x0_ref[0, r, :][:, None]
@@ -87,36 +108,29 @@ def _forward_kernel(
         y0 = y0_ref[0, r, :][:, None]
         ty = ty_ref[0, r, :][:, None]
 
-        # Window slot d holds source row (base + r) + d - radius, which is
-        # f_vmem row r + d; y0's slot (may fall outside [0, window) -> its
-        # flat index falls outside [0, window*w) and matches nothing, which
-        # is the vertical zero-padding: padded scratch rows are zero anyway).
-        slot0 = y0 - (base + r) + radius
-
-        # Horizontal "zeros" padding: an out-of-image x must be masked to a
-        # sentinel, else slot*w + x aliases a neighbouring row's column.
-        okx0 = (x0 >= 0) & (x0 <= w - 1)
-        okx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
-        i00 = jnp.where(okx0, slot0 * w + x0, -1)
-        i01 = jnp.where(okx1, slot0 * w + x0 + 1, -1)
-        i10 = jnp.where(okx0, (slot0 + 1) * w + x0, -1)
-        i11 = jnp.where(okx1, (slot0 + 1) * w + x0 + 1, -1)
-
-        # Arithmetic one-hot (max(0, 1 - |cols - idx|), exact for integer
-        # deltas in f32): wide boolean masks trip a Mosaic relayout bug.
-        def onehot(idx):
-            delta = (cols - idx).astype(jnp.float32)
-            return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
-
-        wmat = (
-            onehot(i00) * ((1.0 - ty) * (1.0 - tx))
-            + onehot(i01) * ((1.0 - ty) * tx)
-            + onehot(i10) * (ty * (1.0 - tx))
-            + onehot(i11) * (ty * tx)
+        # Horizontal one-hot pair; out-of-image x matches no column (zeros
+        # padding is automatic).
+        wx = (
+            _hit(cols - x0) * (1.0 - tx) + _hit(cols - (x0 + 1)) * tx
         ).astype(f_vmem.dtype)
 
-        window_flat = f_vmem[r * w : (r + window) * w]
-        acc = jnp.dot(wmat, window_flat, preferred_element_type=jnp.float32)
+        o_vmem[...] = jnp.dot(
+            wx,
+            f_vmem[:, r * c : (r + window) * c],
+            preferred_element_type=jnp.float32,
+        )
+
+        # Window slot d holds source row (base + r) + d - radius; y0's slot
+        # (out-of-window slots match no d — the vertical zeros padding).
+        slot0 = y0 - (base + r) + radius
+
+        def accd(d, acc):
+            wy = _hit(slot0 - d) * (1.0 - ty) + _hit(slot0 + 1 - d) * ty
+            return acc + wy * o_vmem[:, pl.ds(d * c, c)]
+
+        acc = jax.lax.fori_loop(
+            0, window, accd, jnp.zeros((wg, c), jnp.float32)
+        )
         out_ref[0, r] = acc.astype(out_ref.dtype)
 
 
@@ -131,7 +145,8 @@ def _grad_kernel(
     g_hbm,
     df_ref,
     g_vmem,
-    w_vmem,
+    wx_vmem,
+    wy_vmem,
     sem,
 ):
     """Feature cotangent; see module docstring."""
@@ -151,41 +166,47 @@ def _grad_kernel(
     copy.start()
     copy.wait()
 
-    # Transposed flattened form: df[y] = W^T_flat(window*wg, w) contracted
-    # (dim 0) with g_window_flat(window*wg, c) — one MXU call per source row.
-    # The weight matrix is built slot-by-slot into a VMEM scratch (each slot
-    # is a (wg, w) lane-iota one-hot, the only 2D orientation Mosaic's
-    # layout inference accepts here).
+    # Transposed flattened form with the separable weights split the other
+    # way: df[y] = Wx_flat(window*wg, w)^T-contracted-with (wy * g)_flat.
+    # The column one-hots Wx depend only on the OUTPUT row, so they are
+    # built ONCE per program for all block + window - 1 padded rows (each
+    # source row reuses an overlapping slice); the row weights wy are folded
+    # into the cotangent (a (N, 1)-column broadcast), never materializing
+    # the full weight matrix.
     cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
+    ext = block + window - 1
 
-    def hit(delta_int):
-        delta = delta_int.astype(jnp.float32)
-        return jnp.maximum(1.0 - jnp.abs(delta), 0.0)
+    def build_wx(q, carry):
+        x0 = x0_ref[0, base + q, :][:, None]
+        tx = tx_ref[0, base + q, :][:, None]
+        wx_vmem[pl.ds(q * wg, wg)] = (
+            _hit(cols - x0) * (1.0 - tx) + _hit(cols - (x0 + 1)) * tx
+        ).astype(wx_vmem.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, ext, build_wx, 0)
 
     for r in range(block):
         y = base + r  # source row
 
-        def build(d, carry):
+        def build_wy(d, carry):
             # Contributing output row i_abs = y - radius - 1 + d; with the
             # (radius + 1)-row top padding, padded param row = base + r + d.
-            x0 = x0_ref[0, base + r + d, :][:, None]
-            tx = tx_ref[0, base + r + d, :][:, None]
             y0 = y0_ref[0, base + r + d, :][:, None]
             ty = ty_ref[0, base + r + d, :][:, None]
-            wy = hit(y0 - y) * (1.0 - ty) + hit(y0 - (y - 1)) * ty
-            wd = (
-                hit(cols - x0) * (wy * (1.0 - tx))
-                + hit(cols - (x0 + 1)) * (wy * tx)
-            ).astype(w_vmem.dtype)
-            w_vmem[pl.ds(d * wg, wg)] = wd
+            wy_vmem[pl.ds(d * wg, wg)] = _hit(y0 - y) * (1.0 - ty) + _hit(
+                y0 - (y - 1)
+            ) * ty
             return carry
 
-        jax.lax.fori_loop(0, window, build, 0)
+        jax.lax.fori_loop(0, window, build_wy, 0)
 
-        g_flat = g_vmem[r * wg : (r + window) * wg]
+        gw = (wy_vmem[...] * g_vmem[r * wg : (r + window) * wg]).astype(
+            g_vmem.dtype
+        )
         acc = jax.lax.dot_general(
-            w_vmem[...],
-            g_flat,
+            wx_vmem[r * wg : (r + window) * wg],
+            gw,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -205,12 +226,17 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
     # DMA slices must be lane-aligned: pad channels to a multiple of 128.
     c = c_in + ((-c_in) % 128)
     hp = h + window - 1
-    padded = jnp.pad(
-        features_nhwc,
-        ((0, 0), (radius, radius + 1), (0, 0), (0, c - c_in)),
-    ).reshape(n, hp * w, c)
+    # Column-major window layout: F2[n, x, slot_row * c + ch].
+    padded = (
+        jnp.pad(
+            features_nhwc,
+            ((0, 0), (radius, radius + 1), (0, 0), (0, c - c_in)),
+        )
+        .transpose(0, 2, 1, 3)
+        .reshape(n, w, hp * c)
+    )
 
-    kernel = functools.partial(_forward_kernel, block, radius, w)
+    kernel = functools.partial(_forward_kernel, block, radius, c)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, wg, c), features_nhwc.dtype),
@@ -224,7 +250,8 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
         ],
         out_specs=pl.BlockSpec((1, block, wg, c), lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM(((block + window - 1) * w, c), features_nhwc.dtype),
+            pltpu.VMEM((w, (block + window - 1) * c), features_nhwc.dtype),
+            pltpu.VMEM((wg, window * c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(x0, tx, y0, ty, padded)
@@ -266,7 +293,8 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
         out_specs=pl.BlockSpec((1, block, w, c), lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM(((block + window - 1) * wg, c), dtype),
-            pltpu.VMEM((window * wg, w), dtype),
+            pltpu.VMEM(((block + window - 1) * wg, w), dtype),
+            pltpu.VMEM((window * wg, 1), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(x0_pad, tx_pad, y0_pad, ty_pad, g_pad)
