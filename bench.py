@@ -52,8 +52,7 @@ def main() -> None:
     from flowmap_tpu.training.overfit import (
         OverfitTrainerCfg,
         init_train_state,
-        make_train_chunk,
-        make_train_step,
+        make_train_step_dispatched,
     )
     from flowmap_tpu.utils.synthetic import (
         SyntheticSceneCfg,
@@ -84,27 +83,28 @@ def main() -> None:
     state, optimizer = init_train_state(
         model_cfg, trainer_cfg, NUM_FRAMES, IMAGE_SHAPE
     )
-    step = make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0))
-    chunk = make_train_chunk(step, CHUNK_STEPS)
+    # Region-dispatched step: XLA miscompiles the monolithic fused backward
+    # (Procrustes x reprojection) on TPU — see training/overfit.py.
+    step = make_train_step_dispatched(
+        model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0)
+    )
 
-    # Warmup: compile + one chunk (reusing the same compiled program).
+    # Warmup: compiles every region program + runs one chunk.
     import sys
 
     t0 = time.time()
-    lowered = chunk.lower(state, batch, flows, tracks)
-    print(f"# lowered in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-    t0 = time.time()
-    compiled = lowered.compile()
-    print(f"# compiled in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-    t0 = time.time()
-    state, metrics = compiled(state, batch, flows, tracks)
+    for _ in range(CHUNK_STEPS):
+        state, metrics = step(state, batch, flows, tracks)
     jax.block_until_ready(metrics["loss/total"])
-    print(f"# warmup chunk in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
-    chunk = compiled
+    print(
+        f"# warmup (compile + {CHUNK_STEPS} steps) in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     t0 = time.time()
-    for _ in range(TIMED_CHUNKS):
-        state, metrics = chunk(state, batch, flows, tracks)
+    for _ in range(TIMED_CHUNKS * CHUNK_STEPS):
+        state, metrics = step(state, batch, flows, tracks)
     jax.block_until_ready(metrics["loss/total"])
     elapsed = time.time() - t0
 

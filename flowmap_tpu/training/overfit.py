@@ -37,6 +37,13 @@ class OverfitTrainerCfg:
     max_steps: int = 2000
     val_check_interval: int = 50
     seed: int = 0
+    # Compute the step gradient as three explicitly chained VJPs (backbone /
+    # intrinsics sweep / pose+loss) separated by optimization barriers,
+    # instead of one monolithic backward. Numerically identical (chain rule),
+    # but it bounds XLA's fusion regions: the fused joint backward of
+    # softmin-intrinsics x Procrustes x reprojection miscompiles on TPU
+    # (kernel fault), while each stage alone compiles and runs correctly.
+    staged_vjp: bool = True
 
 
 @struct.dataclass
@@ -70,11 +77,119 @@ def init_train_state(
     )
 
 
+def _staged_value_and_grad(
+    model_cfg: ModelCfg,
+    loss_cfgs: Sequence[LossCfg],
+    params: dict,
+    state: "TrainState",
+    batch: Batch,
+    flows: Flows,
+    tracks,
+    key: jax.Array,
+):
+    """Step gradient as five chained VJP regions (exact — chain rule):
+
+        backbone -> sweep -> unproject -> procrustes -> losses
+
+    with `optimization_barrier` on every inter-region cotangent. XLA
+    miscompiles the single fused backward of Procrustes pose estimation x
+    flow reprojection at the reference scale (TPU kernel fault — each
+    region's backward alone compiles and runs correctly, the joint one
+    faults); the explicit chain keeps every backward region in a separately
+    schedulable program slice, at the cost of materializing the intermediate
+    cotangents (surfaces, poses, intrinsics — small next to activations).
+    """
+    from ..model.backbone import apply_backbone
+    from ..model.extrinsics import apply_extrinsics
+    from ..model.intrinsics import apply_intrinsics
+    from ..ops.geometry import sample_image_grid, unproject
+    from ..types import ModelOutput
+
+    h, w = batch.videos.shape[-2:]
+    k_intrinsics, k_extrinsics = jax.random.split(key)
+    mstate = state.model_state
+
+    def tree_add(*trees):
+        return jax.tree_util.tree_map(lambda *xs: sum(xs), *trees)
+
+    barrier = jax.lax.optimization_barrier
+
+    def backbone_fn(p):
+        bo = apply_backbone(model_cfg.backbone, p["backbone"], batch, flows)
+        if not model_cfg.use_correspondence_weights:
+            bo = bo.replace(weights=jnp.ones_like(bo.weights))
+        return bo
+
+    def sweep_fn(p, bo):
+        k, new_intr_state = apply_intrinsics(
+            model_cfg.intrinsics,
+            p["intrinsics"],
+            mstate.intrinsics,
+            batch,
+            flows,
+            bo,
+            jnp.asarray(state.step),
+            k_intrinsics,
+            train=True,
+        )
+        return k, new_intr_state
+
+    def surfaces_fn(bo, k):
+        xy, _ = sample_image_grid((h, w), dtype=batch.videos.dtype)
+        return unproject(xy, bo.depths, k[:, :, None, None])
+
+    def extrinsics_fn(p, bo, surfaces):
+        return apply_extrinsics(
+            model_cfg.extrinsics,
+            p["extrinsics"],
+            batch,
+            flows,
+            bo,
+            surfaces,
+            k_extrinsics,
+        )
+
+    def losses_fn(bo, surfaces, k, t):
+        output = ModelOutput(
+            depths=bo.depths,
+            surfaces=surfaces,
+            intrinsics=k,
+            extrinsics=t,
+            backward_correspondence_weights=bo.weights,
+        )
+        total, individual = compute_losses(
+            loss_cfgs, flows, tracks, output, state.step, (h, w)
+        )
+        return total, (individual, output)
+
+    bo, vjp_backbone = jax.vjp(backbone_fn, params)
+    k, vjp_sweep, new_intr_state = jax.vjp(sweep_fn, params, bo, has_aux=True)
+    surfaces, vjp_surfaces = jax.vjp(surfaces_fn, bo, k)
+    t, vjp_extr = jax.vjp(extrinsics_fn, params, bo, surfaces)
+    total, vjp_losses, (individual, output) = jax.vjp(
+        losses_fn, bo, surfaces, k, t, has_aux=True
+    )
+
+    g_bo_l, g_surf_l, g_k_l, g_t = vjp_losses(jnp.ones_like(total))
+    g_p_e, g_bo_e, g_surf_e = vjp_extr(barrier(g_t))
+    g_surf = barrier(tree_add(g_surf_l, g_surf_e))
+    g_bo_s, g_k_s = vjp_surfaces(g_surf)
+    g_k = barrier(tree_add(g_k_l, g_k_s))
+    g_p_i, g_bo_i = vjp_sweep(g_k)
+    g_bo = barrier(tree_add(g_bo_l, g_bo_e, g_bo_s, g_bo_i))
+    (g_p_b,) = vjp_backbone(g_bo)
+    grads = tree_add(g_p_e, g_p_i, g_p_b)
+
+    new_model_state = ModelState(intrinsics=new_intr_state)
+    return (total, (individual, new_model_state, output)), grads
+
+
 def make_train_step(
     model_cfg: ModelCfg,
     loss_cfgs: Sequence[LossCfg],
     optimizer: optax.GradientTransformation,
     base_key: jax.Array,
+    staged_vjp: bool = True,
 ) -> Callable:
     """Build the single-step update: (state, batch, flows, tracks) -> state, metrics."""
 
@@ -96,25 +211,33 @@ def make_train_step(
             state.step,
         )
 
-        def loss_fn(p):
-            output, new_model_state = forward(
-                model_cfg,
-                p,
-                state.model_state,
-                batch,
-                flows,
-                state.step,
-                key,
-                train=True,
+        if staged_vjp:
+            (total, (individual, new_model_state, output)), grads = (
+                _staged_value_and_grad(
+                    model_cfg, loss_cfgs, params, state, batch, flows, tracks, key
+                )
             )
-            total, individual = compute_losses(
-                loss_cfgs, flows, tracks, output, state.step, (h, w)
-            )
-            return total, (individual, new_model_state, output)
+        else:
 
-        (total, (individual, new_model_state, output)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+            def loss_fn(p):
+                output, new_model_state = forward(
+                    model_cfg,
+                    p,
+                    state.model_state,
+                    batch,
+                    flows,
+                    state.step,
+                    key,
+                    train=True,
+                )
+                total, individual = compute_losses(
+                    loss_cfgs, flows, tracks, output, state.step, (h, w)
+                )
+                return total, (individual, new_model_state, output)
+
+            (total, (individual, new_model_state, output)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            )
 
         updates, new_opt_state = optimizer.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -134,6 +257,184 @@ def make_train_step(
             params=new_params,
             opt_state=new_opt_state,
             model_state=new_model_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_step_dispatched(
+    model_cfg: ModelCfg,
+    loss_cfgs: Sequence[LossCfg],
+    optimizer: optax.GradientTransformation,
+    base_key: jax.Array,
+) -> Callable:
+    """Train step as SEPARATE jit dispatches per VJP region.
+
+    Same exact chain-rule decomposition as `_staged_value_and_grad`, but each
+    region's forward+backward is its own XLA program (backward programs
+    recompute their region's forward — remat at the region level). This is
+    the strongest isolation against the TPU miscompile of the fused
+    Procrustes x reprojection backward: ops in different programs cannot be
+    scheduled into one faulting kernel. Costs one extra forward per region
+    and ~7 dispatches/step instead of 1.
+
+    Returns a PYTHON callable (not jittable): (state, batch, flows, tracks)
+    -> (state, metrics). Numerics match `make_train_step` exactly.
+    """
+    from ..model.backbone import apply_backbone
+    from ..model.extrinsics import apply_extrinsics
+    from ..model.intrinsics import apply_intrinsics
+    from ..ops.geometry import sample_image_grid, unproject
+    from ..types import ModelOutput
+
+    def step_keys(step):
+        return jax.random.split(jax.random.fold_in(base_key, step))
+
+    @jax.jit
+    def handoff(params, mstate, step):
+        params = dict(params)
+        params["intrinsics"] = maybe_handoff_focal(
+            model_cfg.intrinsics, params["intrinsics"], mstate.intrinsics, step
+        )
+        return params
+
+    def backbone_fn(p, batch, flows):
+        bo = apply_backbone(model_cfg.backbone, p["backbone"], batch, flows)
+        if not model_cfg.use_correspondence_weights:
+            bo = bo.replace(weights=jnp.ones_like(bo.weights))
+        return bo
+
+    b_fwd = jax.jit(backbone_fn)
+
+    @jax.jit
+    def b_bwd(p, batch, flows, g_bo):
+        _, vjp = jax.vjp(lambda pp: backbone_fn(pp, batch, flows), p)
+        (g_p,) = vjp(g_bo)
+        return g_p
+
+    def sweep_fn(p, mstate, batch, flows, bo, step):
+        k_intr, _ = step_keys(step)
+        return apply_intrinsics(
+            model_cfg.intrinsics,
+            p["intrinsics"],
+            mstate.intrinsics,
+            batch,
+            flows,
+            bo,
+            jnp.asarray(step),
+            k_intr,
+            train=True,
+        )
+
+    i_fwd = jax.jit(sweep_fn)
+
+    @jax.jit
+    def i_bwd(p, mstate, batch, flows, bo, step, g_k_parts):
+        g_k = jax.tree_util.tree_map(lambda *x: sum(x), *g_k_parts)
+        _, vjp = jax.vjp(
+            lambda pp, b: sweep_fn(pp, mstate, batch, flows, b, step)[0], p, bo
+        )
+        return vjp(g_k)
+
+    def extr_fn(p, batch, flows, bo, k, step):
+        h, w = batch.videos.shape[-2:]
+        _, k_extr = step_keys(step)
+        xy, _ = sample_image_grid((h, w), dtype=batch.videos.dtype)
+        surfaces = unproject(xy, bo.depths, k[:, :, None, None])
+        return apply_extrinsics(
+            model_cfg.extrinsics, p["extrinsics"], batch, flows, bo, surfaces,
+            k_extr,
+        )
+
+    e_fwd = jax.jit(extr_fn)
+
+    @jax.jit
+    def e_bwd(p, batch, flows, bo, k, step, g_t):
+        _, vjp = jax.vjp(
+            lambda pp, b, kk: extr_fn(pp, batch, flows, b, kk, step), p, bo, k
+        )
+        return vjp(g_t)
+
+    def loss_fn(batch, flows, tracks, bo, k, t, step):
+        h, w = batch.videos.shape[-2:]
+        xy, _ = sample_image_grid((h, w), dtype=batch.videos.dtype)
+        surfaces = unproject(xy, bo.depths, k[:, :, None, None])
+        output = ModelOutput(
+            depths=bo.depths,
+            surfaces=surfaces,
+            intrinsics=k,
+            extrinsics=t,
+            backward_correspondence_weights=bo.weights,
+        )
+        total, individual = compute_losses(
+            loss_cfgs, flows, tracks, output, step, (h, w)
+        )
+        return total, (individual, output)
+
+    @jax.jit
+    def l_all(batch, flows, tracks, bo, k, t, step):
+        def f(b, kk, tt):
+            total, aux = loss_fn(batch, flows, tracks, b, kk, tt, step)
+            return total, aux
+
+        total, vjp, (individual, output) = jax.vjp(f, bo, k, t, has_aux=True)
+        g_bo, g_k, g_t = vjp(jnp.ones_like(total))
+        return total, individual, output, g_bo, g_k, g_t
+
+    @jax.jit
+    def adam_update(params, opt_state, g_parts, step):
+        grads = jax.tree_util.tree_map(lambda *x: sum(x), *g_parts)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state
+
+    @jax.jit
+    def add_trees(*trees):
+        return jax.tree_util.tree_map(lambda *x: sum(x), *trees)
+
+    def train_step(state, batch, flows, tracks):
+        step = state.step
+        params = handoff(state.params, state.model_state, step)
+
+        bo = b_fwd(params, batch, flows)
+        k, new_intr_state = i_fwd(
+            params, state.model_state, batch, flows, bo, step
+        )
+        t = e_fwd(params, batch, flows, bo, k, step)
+        total, individual, output, g_bo_l, g_k_l, g_t = l_all(
+            batch, flows, tracks, bo, k, t, step
+        )
+        g_p_e, g_bo_e, g_k_e = e_bwd(params, batch, flows, bo, k, step, g_t)
+        g_p_i, g_bo_i = i_bwd(
+            params, state.model_state, batch, flows, bo, step, (g_k_l, g_k_e)
+        )
+        g_bo = add_trees(g_bo_l, g_bo_e, g_bo_i)
+        g_p_b = b_bwd(params, batch, flows, g_bo)
+
+        new_params, new_opt_state = adam_update(
+            params, state.opt_state, (g_p_e, g_p_i, g_p_b), step
+        )
+
+        metrics = {
+            "loss/total": total,
+            **{f"loss/{kk}": v for kk, v in individual.items()},
+        }
+        if batch.intrinsics is not None:
+            metrics["intrinsics/fx_error"] = jnp.abs(
+                jnp.mean(batch.intrinsics[..., 0, 0])
+                - jnp.mean(output.intrinsics[..., 0, 0])
+            )
+            metrics["intrinsics/fy_error"] = jnp.abs(
+                jnp.mean(batch.intrinsics[..., 1, 1])
+                - jnp.mean(output.intrinsics[..., 1, 1])
+            )
+
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            model_state=ModelState(intrinsics=new_intr_state),
             step=state.step + 1,
         )
         return new_state, metrics
