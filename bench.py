@@ -93,9 +93,16 @@ def main() -> None:
     import sys
 
     t0 = time.time()
-    for _ in range(CHUNK_STEPS):
+    for i in range(CHUNK_STEPS):
         state, metrics = step(state, batch, flows, tracks)
-    jax.block_until_ready(metrics["loss/total"])
+        jax.block_until_ready(metrics["loss/total"])
+        if i < 3 or i == CHUNK_STEPS - 1:
+            print(
+                f"# warmup step {i} done at {time.time() - t0:.1f}s "
+                f"loss={float(metrics['loss/total']):.4f}",
+                file=sys.stderr,
+                flush=True,
+            )
     print(
         f"# warmup (compile + {CHUNK_STEPS} steps) in {time.time() - t0:.1f}s",
         file=sys.stderr,
