@@ -136,7 +136,23 @@ def grid_sample_points(
     Equivalent to `grid_sample_2d(input, xy * 2 - 1)` with a (p, 1) grid, i.e.
     the reference's recurring `F.grid_sample(..., rearrange(xy * 2 - 1, ...))`
     pattern in `projection.py:235-241,266-272`.
+
+    TPU: batched point gathers with tiny channel counts (n~150, c=3) CRASH
+    the TPU runtime (worker kernel fault, reproduced deterministically on
+    v5e via the Procrustes extrinsics sampler; see docs/TPU_FAULT_NOTES.md).
+    The single-batch (n=1) pattern is proven clean, so for n > 1 the batch
+    is processed through `lax.map` — identical numerics, one tiny gather
+    program per batch element inside one compiled scan.
     """
+    n = input.shape[0]
     grid = (xy * 2.0 - 1.0)[:, :, None, :]  # (n, p, 1, 2)
-    out = grid_sample_2d(input, grid, padding_mode=padding_mode)
+    if n > 1:
+        out = jax.lax.map(
+            lambda args: grid_sample_2d(
+                args[0][None], args[1][None], padding_mode=padding_mode
+            )[0],
+            (input, grid),
+        )  # (n, c, p, 1)
+    else:
+        out = grid_sample_2d(input, grid, padding_mode=padding_mode)
     return out[..., 0]
