@@ -137,22 +137,62 @@ def grid_sample_points(
     the reference's recurring `F.grid_sample(..., rearrange(xy * 2 - 1, ...))`
     pattern in `projection.py:235-241,266-272`.
 
-    TPU: batched point gathers with tiny channel counts (n~150, c=3) CRASH
-    the TPU runtime (worker kernel fault, reproduced deterministically on
-    v5e via the Procrustes extrinsics sampler; see docs/TPU_FAULT_NOTES.md).
-    The single-batch (n=1) pattern is proven clean, so for n > 1 the batch
-    is processed through `lax.map` — identical numerics, one tiny gather
-    program per batch element inside one compiled scan.
+    TPU: formulated as ONE flat `take` over the whole (n*h*w, c) table with
+    the batch offset folded into the index — the batched per-row
+    `take_along_axis` form with tiny channel counts (n~150, c=3) crashes the
+    TPU runtime (worker kernel fault, reproduced deterministically on v5e via
+    the Procrustes extrinsics sampler; see docs/TPU_FAULT_NOTES.md), and the
+    round-1 per-batch `lax.map` workaround compiled pathologically slowly.
+    The flat-gather form is clean, compiles in seconds, and its transpose is
+    a single scatter-add.
     """
-    n = input.shape[0]
-    grid = (xy * 2.0 - 1.0)[:, :, None, :]  # (n, p, 1, 2)
-    if n > 1:
-        out = jax.lax.map(
-            lambda args: grid_sample_2d(
-                args[0][None], args[1][None], padding_mode=padding_mode
-            )[0],
-            (input, grid),
-        )  # (n, c, p, 1)
-    else:
-        out = grid_sample_2d(input, grid, padding_mode=padding_mode)
-    return out[..., 0]
+    if padding_mode not in ("border", "zeros"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    n, c, h, w = input.shape
+    _, p, _ = xy.shape
+
+    x = xy[..., 0] * w - 0.5
+    y = xy[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+    x0c = jnp.clip(x0i, 0, w - 1)
+    x1c = jnp.clip(x1i, 0, w - 1)
+    y0c = jnp.clip(y0i, 0, h - 1)
+    y1c = jnp.clip(y1i, 0, h - 1)
+
+    table = input.transpose(0, 2, 3, 1).reshape(n * h * w, c)
+    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
+
+    def corner(yi, xi):
+        flat = (base + yi * w + xi).reshape(-1)
+        return jnp.take(table, flat, axis=0).reshape(n, p, c)
+
+    v00 = corner(y0c, x0c)
+    v01 = corner(y0c, x1c)
+    v10 = corner(y1c, x0c)
+    v11 = corner(y1c, x1c)
+
+    if padding_mode == "zeros":
+
+        def in_bounds(yi, xi):
+            return (
+                (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            ).astype(input.dtype)[..., None]
+
+        v00 = v00 * in_bounds(y0i, x0i)
+        v01 = v01 * in_bounds(y0i, x1i)
+        v10 = v10 * in_bounds(y1i, x0i)
+        v11 = v11 * in_bounds(y1i, x1i)
+
+    tx = tx[..., None]
+    ty = ty[..., None]
+    top = v00 * (1.0 - tx) + v01 * tx
+    bottom = v10 * (1.0 - tx) + v11 * tx
+    out = top * (1.0 - ty) + bottom * ty  # (n, p, c)
+    return out.transpose(0, 2, 1)

@@ -183,6 +183,8 @@ def _apply_platform_override() -> None:
 
 def main() -> None:
     _apply_platform_override()
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     cfg = compose_config("overfit", OverfitCfg, sys.argv[1:])
     overfit(cfg)
 

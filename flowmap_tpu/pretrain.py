@@ -185,6 +185,8 @@ def _apply_platform_override() -> None:
 
 def main() -> None:
     _apply_platform_override()
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     if jax.process_count() > 1:
         jax.distributed.initialize()
     cfg = compose_config("pretrain", PretrainCfg, sys.argv[1:])

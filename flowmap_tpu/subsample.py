@@ -139,6 +139,8 @@ def subsample(cfg: SubsampleCfg) -> None:
 
 
 def main() -> None:
+    from .utils.compile_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     cfg = compose_config("subsample", SubsampleCfg, sys.argv[1:])
     subsample(cfg)
 

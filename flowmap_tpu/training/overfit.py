@@ -37,13 +37,19 @@ class OverfitTrainerCfg:
     max_steps: int = 2000
     val_check_interval: int = 50
     seed: int = 0
-    # Compute the step gradient as three explicitly chained VJPs (backbone /
+    # Compute the step gradient as explicitly chained VJPs (backbone /
     # intrinsics sweep / pose+loss) separated by optimization barriers,
-    # instead of one monolithic backward. Numerically identical (chain rule),
-    # but it bounds XLA's fusion regions: the fused joint backward of
-    # softmin-intrinsics x Procrustes x reprojection miscompiles on TPU
-    # (kernel fault), while each stage alone compiles and runs correctly.
-    staged_vjp: bool = True
+    # instead of one monolithic backward. Numerically identical (chain rule);
+    # kept as a fusion-bounding fallback (the round-1 TPU fault it was built
+    # to dodge turned out to be a gather formulation bug, now fixed — see
+    # docs/TPU_FAULT_NOTES.md).
+    staged_vjp: bool = False
+    # Steps per compiled program. 1 (default) jits the single step and drives
+    # it from Python with a donated carry — dispatch latency is microseconds
+    # against a ~1s step, and compile time stays bounded. Larger values wrap
+    # `lax.scan` around the step (useful if steps ever get dispatch-bound,
+    # e.g. tiny scenes), at a steep XLA compile-time cost per scene shape.
+    steps_per_program: int = 1
 
 
 @struct.dataclass
@@ -61,11 +67,16 @@ def init_train_state(
     image_shape: tuple[int, int],
 ) -> tuple[TrainState, optax.GradientTransformation]:
     key = jax.random.PRNGKey(trainer_cfg.seed)
-    params, model_state = init_model(
-        model_cfg, key, num_frames=num_frames, image_shape=image_shape
-    )
+    # One compiled program for the whole init: eager per-layer init would
+    # dispatch hundreds of tiny XLA programs (≈95 s through a remote-compile
+    # tunnel vs ~1 s fused).
+    params, model_state = jax.jit(
+        lambda k: init_model(
+            model_cfg, k, num_frames=num_frames, image_shape=image_shape
+        )
+    )(key)
     optimizer = optax.adam(trainer_cfg.lr)
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)
     return (
         TrainState(
             params=params,
@@ -456,6 +467,9 @@ def make_train_chunk(train_step: Callable, chunk_size: int) -> Callable:
     return jax.jit(chunk, donate_argnums=(0,))
 
 
+_EVAL_FORWARD_CACHE: dict = {}
+
+
 def eval_forward(
     model_cfg: ModelCfg,
     state: TrainState,
@@ -463,7 +477,9 @@ def eval_forward(
     flows: Flows,
     key: Optional[jax.Array] = None,
 ):
-    """Model forward for validation/export at the current step.
+    """Model forward for validation/export at the current step (one jitted
+    program — eager evaluation would dispatch every conv separately, which is
+    pathologically slow through a remote-compile tunnel).
 
     Applies the stage-boundary focal handoff first: when evaluating exactly at
     `regression.after_step` (before the training step that persists the
@@ -471,18 +487,30 @@ def eval_forward(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    params = dict(state.params)
-    params["intrinsics"] = maybe_handoff_focal(
-        model_cfg.intrinsics,
-        params["intrinsics"],
-        state.model_state.intrinsics,
-        state.step,
+
+    jitted = _EVAL_FORWARD_CACHE.get(model_cfg)
+    if jitted is None:
+
+        def run(params, model_state, batch, flows, step, key):
+            params = dict(params)
+            params["intrinsics"] = maybe_handoff_focal(
+                model_cfg.intrinsics,
+                params["intrinsics"],
+                model_state.intrinsics,
+                step,
+            )
+            output, _ = forward(
+                model_cfg, params, model_state, batch, flows, step, key,
+                train=False,
+            )
+            return output
+
+        jitted = jax.jit(run)
+        _EVAL_FORWARD_CACHE[model_cfg] = jitted
+
+    return jitted(
+        state.params, state.model_state, batch, flows, state.step, key
     )
-    output, _ = forward(
-        model_cfg, params, state.model_state, batch, flows, state.step, key,
-        train=False,
-    )
-    return output
 
 
 def _autosize_warp_radius(model_cfg: ModelCfg, flows: Flows, height: int) -> ModelCfg:
@@ -547,19 +575,38 @@ def run_overfit(
     # exact for this scene (ops/warp.py).
     model_cfg = _autosize_warp_radius(model_cfg, flows, h)
     key = jax.random.PRNGKey(trainer_cfg.seed + 1)
-    train_step = make_train_step(model_cfg, loss_cfgs, optimizer, key)
+    train_step = make_train_step(
+        model_cfg, loss_cfgs, optimizer, key, staged_vjp=trainer_cfg.staged_vjp
+    )
 
     interval = min(trainer_cfg.val_check_interval, trainer_cfg.max_steps)
-    chunk = make_train_chunk(train_step, interval)
+    if trainer_cfg.steps_per_program > 1:
+        chunk = make_train_chunk(
+            train_step, min(trainer_cfg.steps_per_program, interval)
+        )
+        per_call = min(trainer_cfg.steps_per_program, interval)
+    else:
+        step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+        def chunk(state, batch, flows, tracks):
+            state, metrics = step_fn(state, batch, flows, tracks)
+            return state, metrics
+
+        per_call = 1
 
     t_start = time.time()
     history: dict[str, list] = {}
     steps_done = 0
     while steps_done < trainer_cfg.max_steps:
         state, metrics = chunk(state, batch, flows, tracks)
-        steps_done += interval
+        steps_done += per_call
+        if steps_done % interval != 0 and steps_done < trainer_cfg.max_steps:
+            continue
         # Fetch the last step's metrics (one host sync per interval).
-        fetched = {k: float(v[-1]) for k, v in metrics.items()}
+        fetched = {
+            k: float(v[-1] if getattr(v, "ndim", 0) else v)
+            for k, v in metrics.items()
+        }
         for k, v in fetched.items():
             history.setdefault(k, []).append(v)
         if on_validation is not None:

@@ -76,9 +76,11 @@ def visualize_summary(
     depths = np.asarray(model_output.depths[0])
     weights = np.asarray(model_output.backward_correspondence_weights[0])
 
+    import jax
+
     xy, _ = sample_image_grid((h, w))
     bwd_pred = np.asarray(
-        compute_backward_flow(
+        jax.jit(compute_backward_flow)(
             model_output.surfaces, model_output.extrinsics, model_output.intrinsics
         )[0]
     ) - np.asarray(xy)
