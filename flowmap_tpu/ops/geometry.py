@@ -102,11 +102,34 @@ def project_camera_space(
     epsilon: float = 1e-5,
     infinity: float = 1e8,
 ) -> Float[Array, "*b d_minus_1"]:
-    """Perspective-divide then apply intrinsics (reference: `projection.py:49-58`)."""
-    points = points / (points[..., -1:] + epsilon)
-    points = jnp.nan_to_num(points, posinf=infinity, neginf=-infinity)
-    points = jnp.einsum("...ij,...j->...i", intrinsics, points)
-    return points[..., :-1]
+    """Perspective-divide then apply intrinsics (reference: `projection.py:49-58`).
+
+    Componentwise rather than an einsum against the K matrix: the callers
+    broadcast a (b, f, 1, 1, 3, 3) K over a pixel grid, and a matrix einsum
+    makes XLA materialize the broadcast K at grid resolution (GBs of HBM
+    traffic at reference scale). Scalar components fuse into one elementwise
+    loop. Assumes K's last row is (0, 0, 1), which holds for every K in this
+    framework (same assumption as `intrinsics_inverse`).
+    """
+    x = points[..., 0]
+    y = points[..., 1]
+    z = points[..., 2]
+    denom = z + epsilon
+    nan = lambda q: jnp.nan_to_num(q, posinf=infinity, neginf=-infinity)
+    xn = nan(x / denom)
+    yn = nan(y / denom)
+    zn = nan(z / denom)
+    u = (
+        intrinsics[..., 0, 0] * xn
+        + intrinsics[..., 0, 1] * yn
+        + intrinsics[..., 0, 2] * zn
+    )
+    v = (
+        intrinsics[..., 1, 0] * xn
+        + intrinsics[..., 1, 1] * yn
+        + intrinsics[..., 1, 2] * zn
+    )
+    return jnp.stack([u, v], axis=-1)
 
 
 def project(
@@ -127,12 +150,20 @@ def unproject(
     z: Float[Array, "*b"],
     intrinsics: Float[Array, "*b 3 3"],
 ) -> Float[Array, "*b 3"]:
-    """Lift normalized 2D coordinates with depth z to camera-space 3D points."""
-    coordinates = homogenize_points(coordinates)
-    ray_directions = jnp.einsum(
-        "...ij,...j->...i", intrinsics_inverse(intrinsics), coordinates
-    )
-    return ray_directions * z[..., None]
+    """Lift normalized 2D coordinates with depth z to camera-space 3D points.
+
+    Componentwise K^-1 application (x - cx)/fx etc. — the matrix-einsum form
+    materializes the broadcast (b, f, 1, 1, 3, 3) inverse at grid resolution
+    (~2 GB at reference scale); the component form fuses into the surrounding
+    elementwise graph. Zero-skew K assumed (as everywhere in this framework).
+    """
+    fx = intrinsics[..., 0, 0]
+    fy = intrinsics[..., 1, 1]
+    cx = intrinsics[..., 0, 2]
+    cy = intrinsics[..., 1, 2]
+    rx = (coordinates[..., 0] - cx) / fx
+    ry = (coordinates[..., 1] - cy) / fy
+    return jnp.stack([rx * z, ry * z, z], axis=-1)
 
 
 def sample_image_grid(
@@ -160,11 +191,24 @@ def reproject_points(
     relative_transformations: Float[Array, "*b 4 4"],
     intrinsics: Float[Array, "*b 3 3"],
 ) -> Float[Array, "*b 2"]:
-    """Apply a relative camera transform to camera-space points, then project."""
-    xyz = jnp.einsum(
-        "...ij,...j->...i", relative_transformations, homogenize_points(xyz)
-    )[..., :3]
-    return project_camera_space(xyz, intrinsics)
+    """Apply a relative camera transform to camera-space points, then project.
+
+    Componentwise 4x4 application — see `project_camera_space` for why the
+    broadcast matrix einsum is avoided on the hot path.
+    """
+    t = relative_transformations
+    x = xyz[..., 0]
+    y = xyz[..., 1]
+    z = xyz[..., 2]
+    out = jnp.stack(
+        [
+            t[..., 0, 0] * x + t[..., 0, 1] * y + t[..., 0, 2] * z + t[..., 0, 3],
+            t[..., 1, 0] * x + t[..., 1, 1] * y + t[..., 1, 2] * z + t[..., 1, 3],
+            t[..., 2, 0] * x + t[..., 2, 1] * y + t[..., 2, 2] * z + t[..., 2, 3],
+        ],
+        axis=-1,
+    )
+    return project_camera_space(out, intrinsics)
 
 
 def earlier(x):

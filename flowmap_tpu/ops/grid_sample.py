@@ -126,6 +126,32 @@ def _grid_sample_direct(
     return out.transpose(0, 3, 1, 2)
 
 
+def bilinear_onehot_weights(
+    coords: Float[Array, "*b p"],
+    size: int,
+    padding_mode: str,
+    dtype,
+) -> Float[Array, "*b p size"]:
+    """One-hot-pair bilinear weight matrix along one axis.
+
+    W[..., p, i] = (1 - t) * 1[i == floor(c_p)] + t * 1[i == floor(c_p) + 1]
+    for pixel coordinates c_p, with "border" clamping both corners into range
+    (coincident corners sum their weights, matching the gather form exactly)
+    and "zeros" dropping out-of-range corners (no index matches).
+    """
+    c0 = jnp.floor(coords)
+    t = (coords - c0)[..., None]
+    c0i = c0.astype(jnp.int32)
+    c1i = c0i + 1
+    if padding_mode == "border":
+        c0i = jnp.clip(c0i, 0, size - 1)
+        c1i = jnp.clip(c1i, 0, size - 1)
+    idx = jnp.arange(size, dtype=jnp.int32)
+    w0 = (idx == c0i[..., None]).astype(dtype)
+    w1 = (idx == c1i[..., None]).astype(dtype)
+    return w0 * (1.0 - t) + w1 * t
+
+
 def grid_sample_points(
     input: Float[Array, "n c h w"],
     xy: Float[Array, "n p 2"],
@@ -137,62 +163,26 @@ def grid_sample_points(
     the reference's recurring `F.grid_sample(..., rearrange(xy * 2 - 1, ...))`
     pattern in `projection.py:235-241,266-272`.
 
-    TPU: formulated as ONE flat `take` over the whole (n*h*w, c) table with
-    the batch offset folded into the index — the batched per-row
-    `take_along_axis` form with tiny channel counts (n~150, c=3) crashes the
-    TPU runtime (worker kernel fault, reproduced deterministically on v5e via
-    the Procrustes extrinsics sampler; see docs/TPU_FAULT_NOTES.md), and the
-    round-1 per-batch `lax.map` workaround compiled pathologically slowly.
-    The flat-gather form is clean, compiles in seconds, and its transpose is
-    a single scatter-add.
+    TPU: formulated as SEPARABLE ONE-HOT MATMULS — out = Wy ∘ (Wx ⊗ img) with
+    Wx/Wy the one-hot-pair bilinear weight matrices. TPUs have no fast general
+    gather (the batched per-row take form with tiny channel counts faulted
+    the v5e runtime outright, see docs/TPU_FAULT_NOTES.md) and no fast
+    scatter (the gather's transpose), but they have very fast matmuls, and a
+    matmul's transpose is a matmul. Every call site samples at coordinates
+    that carry no gradient (flow/track supervision is data), so the backward
+    is exactly the transposed contraction. Exact bilinear semantics for both
+    padding modes, including coincident clamped corners.
     """
     if padding_mode not in ("border", "zeros"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
     n, c, h, w = input.shape
-    _, p, _ = xy.shape
 
     x = xy[..., 0] * w - 0.5
     y = xy[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
-    x0c = jnp.clip(x0i, 0, w - 1)
-    x1c = jnp.clip(x1i, 0, w - 1)
-    y0c = jnp.clip(y0i, 0, h - 1)
-    y1c = jnp.clip(y1i, 0, h - 1)
+    wx = bilinear_onehot_weights(x, w, padding_mode, input.dtype)  # (n, p, w)
+    wy = bilinear_onehot_weights(y, h, padding_mode, input.dtype)  # (n, p, h)
 
-    table = input.transpose(0, 2, 3, 1).reshape(n * h * w, c)
-    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
-
-    def corner(yi, xi):
-        flat = (base + yi * w + xi).reshape(-1)
-        return jnp.take(table, flat, axis=0).reshape(n, p, c)
-
-    v00 = corner(y0c, x0c)
-    v01 = corner(y0c, x1c)
-    v10 = corner(y1c, x0c)
-    v11 = corner(y1c, x1c)
-
-    if padding_mode == "zeros":
-
-        def in_bounds(yi, xi):
-            return (
-                (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-            ).astype(input.dtype)[..., None]
-
-        v00 = v00 * in_bounds(y0i, x0i)
-        v01 = v01 * in_bounds(y0i, x1i)
-        v10 = v10 * in_bounds(y1i, x0i)
-        v11 = v11 * in_bounds(y1i, x1i)
-
-    tx = tx[..., None]
-    ty = ty[..., None]
-    top = v00 * (1.0 - tx) + v01 * tx
-    bottom = v10 * (1.0 - tx) + v11 * tx
-    out = top * (1.0 - ty) + bottom * ty  # (n, p, c)
+    img = input.transpose(0, 2, 3, 1)  # (n, h, w, c)
+    rows = jnp.einsum("npx,nyxc->npyc", wx, img)  # contract x on the MXU
+    out = jnp.einsum("npy,npyc->npc", wy, rows)  # weighted row mix
     return out.transpose(0, 2, 1)

@@ -122,13 +122,16 @@ def compute_track_flow_packed(
 ]:
     """`compute_track_flow` over all packed segments at once.
 
-    Formulated as ONE flat bilinear gather: per-segment frame indices are
-    `starts[:, None] + arange(l)`, so surface samples come from a single
-    take over the flattened (f*h*w) table and camera matrices from tiny
-    index gathers. No vmap, no dynamic slices — the backward pass is a
-    single scatter-add instead of per-segment vmapped scatters (which
-    compile and run poorly on TPU).
+    TPU formulation: per-segment frames come from ONE whole-frame-row gather
+    (`surfaces[frame_idx]` — large contiguous rows, cheap), and the bilinear
+    point sampling is SEPARABLE ONE-HOT MATMULS (see
+    `grid_sample.grid_sample_points`): the backward w.r.t. the surfaces is
+    then transposed matmuls plus a per-frame segment reduction — no
+    scatter-add anywhere (XLA's TPU scatter made the original flat-gather
+    form's backward ~6x the cost of the rest of the loss combined).
     """
+    from .grid_sample import bilinear_onehot_weights
+
     b, f, h, w, _ = surfaces.shape
     _, s, l, p, _ = packed.xy.shape
     assert b == 1, "packed track flow currently supports batch size 1"
@@ -138,25 +141,13 @@ def compute_track_flow_packed(
     # Bilinear sample surfaces[frame_idx] at the track xy (border padding).
     x = packed.xy[0, ..., 0] * w - 0.5  # (s, l, p)
     y = packed.xy[0, ..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = (x - x0)[..., None]
-    ty = (y - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    dtype = surfaces.dtype
+    wx = bilinear_onehot_weights(x, w, "border", dtype)  # (s, l, p, w)
+    wy = bilinear_onehot_weights(y, h, "border", dtype)  # (s, l, p, h)
 
-    table = surfaces[0].reshape(f * h * w, 3)
-    base = (frame_idx * (h * w))[:, :, None]  # (s, l, 1)
-
-    def corner(yi, xi):
-        flat = (base + yi * w + xi).reshape(-1)
-        return jnp.take(table, flat, axis=0).reshape(s, l, p, 3)
-
-    top = corner(y0i, x0i) * (1 - tx) + corner(y0i, x1i) * tx
-    bottom = corner(y1i, x0i) * (1 - tx) + corner(y1i, x1i) * tx
-    xyz = top * (1 - ty) + bottom * ty  # (s, l, p, 3)
+    seg_surfaces = surfaces[0][frame_idx]  # (s, l, h, w, 3) — whole-row gather
+    rows = jnp.einsum("slpx,slyxc->slpyc", wx, seg_surfaces)
+    xyz = jnp.einsum("slpy,slpyc->slpc", wy, rows)  # (s, l, p, 3)
 
     seg_extrinsics = extrinsics[0][frame_idx]  # (s, l, 4, 4)
     seg_intrinsics = intrinsics[0][frame_idx]  # (s, l, 3, 3)
