@@ -51,8 +51,9 @@ def main() -> None:
     )
     from flowmap_tpu.training.overfit import (
         OverfitTrainerCfg,
+        _autosize_warp_radius,
         init_train_state,
-        make_train_step_dispatched,
+        make_train_step,
     )
     from flowmap_tpu.utils.synthetic import (
         SyntheticSceneCfg,
@@ -77,16 +78,19 @@ def main() -> None:
         ),
         extrinsics=ExtrinsicsProcrustesCfg(num_points=1000),
     )
+    # Size the warp window from the actual flow field, exactly as the shipped
+    # CLI does (training/overfit.py run_overfit).
+    model_cfg = _autosize_warp_radius(model_cfg, flows, IMAGE_SHAPE[0])
     loss_cfgs = [LossFlowCfg(), LossTrackingCfg()]
     trainer_cfg = OverfitTrainerCfg(lr=3e-5, max_steps=2000)
 
     state, optimizer = init_train_state(
         model_cfg, trainer_cfg, NUM_FRAMES, IMAGE_SHAPE
     )
-    # Region-dispatched step: XLA miscompiles the monolithic fused backward
-    # (Procrustes x reprojection) on TPU — see training/overfit.py.
-    step = make_train_step_dispatched(
-        model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0)
+    # The same monolithic single-jit step the shipped CLI runs.
+    step = jax.jit(
+        make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0)),
+        donate_argnums=(0,),
     )
 
     # Warmup: compiles every region program + runs one chunk.
@@ -95,11 +99,13 @@ def main() -> None:
     t0 = time.time()
     for i in range(CHUNK_STEPS):
         state, metrics = step(state, batch, flows, tracks)
-        jax.block_until_ready(metrics["loss/total"])
+        # float() forces a host fetch — block_until_ready does not reliably
+        # block on the axon-tunneled backend.
+        loss_val = float(metrics["loss/total"])
         if i < 3 or i == CHUNK_STEPS - 1:
             print(
                 f"# warmup step {i} done at {time.time() - t0:.1f}s "
-                f"loss={float(metrics['loss/total']):.4f}",
+                f"loss={loss_val:.4f}",
                 file=sys.stderr,
                 flush=True,
             )
@@ -112,7 +118,7 @@ def main() -> None:
     t0 = time.time()
     for _ in range(TIMED_CHUNKS * CHUNK_STEPS):
         state, metrics = step(state, batch, flows, tracks)
-    jax.block_until_ready(metrics["loss/total"])
+    float(metrics["loss/total"])  # host fetch = real synchronization
     elapsed = time.time() - t0
 
     steps_per_sec = TIMED_CHUNKS * CHUNK_STEPS / elapsed

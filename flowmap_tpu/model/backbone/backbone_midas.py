@@ -36,7 +36,7 @@ class BackboneMidasCfg:
     # Rematerialize the depth net in the backward pass: trades ~1/3 extra
     # forward FLOPs for a large cut in live activation memory (the 150-frame
     # reference workload does not fit HBM otherwise).
-    remat: bool = True
+    remat: bool = False
     # Feature-warp implementation. "pallas" = fused VMEM kernel
     # (ops/pallas/warp_kernel.py, fastest; no gradient to the frozen flow);
     # "matmul" = gather-free windowed one-hot matmuls (ops/warp.py);
@@ -161,13 +161,26 @@ def apply_midas(
             )
         else:
             warped = grid_sample_2d(flat_feats, flat_grid, padding_mode="zeros")
-        warped = warped.reshape(b, f - 1, c, h, w)
-        feats = jnp.concatenate([warped, later(features)], axis=2)
-        feats = jnp.moveaxis(feats, 2, -1)  # b p h w c
         mlp_params = jax.tree_util.tree_map(
             lambda x: x.astype(dtype), params["corr_weighter"]
         )
-        logits = _apply_weight_mlp(mlp_params, feats).astype(jnp.float32)
+        # The first MLP layer on concat([warped, later]) splits by linearity:
+        # W @ [a; b] = W_a @ a + W_b @ b. Feeding the NCHW halves straight
+        # into channel-contracting einsums skips materializing (and
+        # transposing) the 2c-channel concat — ~2.7 GB of HBM round-trips at
+        # reference scale.
+        layer0 = mlp_params[0]
+        w_a = layer0["kernel"][:c]
+        w_b = layer0["kernel"][c:]
+        later_feats = later(features).reshape(b * (f - 1), c, h, w)
+        x = (
+            jnp.einsum("nchw,ck->nhwk", warped, w_a)
+            + jnp.einsum("nchw,ck->nhwk", later_feats, w_b)
+            + layer0["bias"]
+        )
+        x = jax.nn.relu(x)
+        logits = _apply_weight_mlp(mlp_params[1:], x).astype(jnp.float32)
+        logits = logits.reshape(b, f - 1, h, w, 1)
         weights = jnp.clip(jax.nn.sigmoid(logits)[..., 0], min=1e-4)
     else:
         weights = jax.nn.sigmoid(cfg.weight_sensitivity * params["weights"])[None]

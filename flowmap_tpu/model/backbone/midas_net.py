@@ -80,27 +80,39 @@ def _relu6(x):
     return jnp.clip(x, 0.0, 6.0)
 
 
-def _upsample2x(x, align_corners: bool = True):
-    """Bilinear x2 upsample, align_corners=True (torch Interpolate in MiDaS)."""
-    n, h, w, c = x.shape
-    ho, wo = 2 * h, 2 * w
+def _interp_matrix(size_out: int, size_in: int, align_corners: bool, dtype):
+    """Dense (out, in) bilinear interpolation matrix (2 nonzeros per row)."""
+    import numpy as np
+
     if align_corners:
-        # Source coordinate: dst * (h-1)/(ho-1).
-        ys = jnp.arange(ho) * ((h - 1) / max(ho - 1, 1))
-        xs = jnp.arange(wo) * ((w - 1) / max(wo - 1, 1))
+        src = np.arange(size_out) * ((size_in - 1) / max(size_out - 1, 1))
     else:
-        ys = jnp.clip((jnp.arange(ho) + 0.5) / 2 - 0.5, 0, h - 1)
-        xs = jnp.clip((jnp.arange(wo) + 0.5) / 2 - 0.5, 0, w - 1)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ty = (ys - y0)[None, :, None, None]
-    tx = (xs - x0)[None, None, :, None]
-    g = lambda yi, xi: x[:, yi][:, :, xi]
-    top = g(y0, x0) * (1 - tx) + g(y0, x1) * tx
-    bot = g(y1, x0) * (1 - tx) + g(y1, x1) * tx
-    return top * (1 - ty) + bot * ty
+        src = np.clip(
+            (np.arange(size_out) + 0.5) * (size_in / size_out) - 0.5,
+            0,
+            size_in - 1,
+        )
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, size_in - 1)
+    t = src - i0
+    m = np.zeros((size_out, size_in), np.float32)
+    m[np.arange(size_out), i0] += 1 - t
+    m[np.arange(size_out), i1] += t
+    return jnp.asarray(m, dtype=dtype)
+
+
+def _upsample2x(x, align_corners: bool = True):
+    """Bilinear x2 upsample, align_corners=True (torch Interpolate in MiDaS).
+
+    Applied as two small interp-matrix contractions on the MXU: the
+    integer-indexing formulation lowers to a gather whose backward is a
+    TPU-hostile scatter-add; a matmul's transpose is a matmul.
+    """
+    n, h, w, c = x.shape
+    ay = _interp_matrix(2 * h, h, align_corners, x.dtype)
+    ax = _interp_matrix(2 * w, w, align_corners, x.dtype)
+    x = jnp.einsum("Oh,nhwc->nOwc", ay, x)
+    return jnp.einsum("Ow,nhwc->nhOc", ax, x)
 
 
 # ---------------------------------------------------------------------------

@@ -80,10 +80,12 @@ def _forward_kernel(
 
     window = 2 * radius + 2
     wg = x0_ref.shape[-1]
-    w = f_vmem.shape[0]
+    w = f_vmem.shape[1]
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
     base = j * block
+    ext = block + window - 1
 
     # The bilinear weight matrix is separable: W[j, (d, x)] = wy[j, d] *
     # wx[j, x]. Exploit it by (1) one MXU call per output row against a
@@ -92,13 +94,36 @@ def _forward_kernel(
     # `sum_d wy[:, d] * out2[:, d*c:(d+1)*c]` accumulation. This avoids
     # materializing the (wg, window*w) one-hot, which is ~20x the VPU work.
     #
-    # Features arrive column-flattened ((n, w, hp*c)); DMA the slot window
-    # [base, base + block + window - 1) (a lane slice, c-aligned) into VMEM.
-    copy = pltpu.make_async_copy(
-        f_hbm.at[i, :, pl.ds(base * c, (block + window - 1) * c)], f_vmem, sem
-    )
-    copy.start()
-    copy.wait()
+    # Features arrive column-flattened ((n, w, hp*c)); the slot window
+    # [base, base + ext) (a lane slice, c-aligned) is DMA'd into a
+    # DOUBLE-BUFFERED VMEM scratch: each program kicks off the next
+    # program's copy before computing, so the DMA rides under the MXU work
+    # instead of serializing in front of it.
+    def start_copy(slot, ii, bb):
+        pltpu.make_async_copy(
+            f_hbm.at[ii, :, pl.ds(bb * c, ext * c)],
+            f_vmem.at[slot],
+            sem.at[slot],
+        ).start()
+
+    step = i * nj + j
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start_copy(0, i, base)
+
+    @pl.when(step + 1 < pl.num_programs(0) * nj)
+    def _():
+        nxt_i = jax.lax.select(j + 1 < nj, i, i + 1)
+        nxt_b = jax.lax.select(j + 1 < nj, (j + 1) * block, 0)
+        start_copy(jax.lax.rem(step + 1, 2), nxt_i, nxt_b)
+
+    pltpu.make_async_copy(
+        f_hbm.at[i, :, pl.ds(base * c, ext * c)],
+        f_vmem.at[slot],
+        sem.at[slot],
+    ).wait()
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (wg, w), 1)
 
@@ -112,11 +137,11 @@ def _forward_kernel(
         # padding is automatic).
         wx = (
             _hit(cols - x0) * (1.0 - tx) + _hit(cols - (x0 + 1)) * tx
-        ).astype(f_vmem.dtype)
+        ).astype(f_hbm.dtype)
 
         o_vmem[...] = jnp.dot(
             wx,
-            f_vmem[:, r * c : (r + window) * c],
+            f_vmem[slot, :, pl.ds(r * c, window * c)],
             preferred_element_type=jnp.float32,
         )
 
@@ -157,14 +182,38 @@ def _grad_kernel(
     w = df_ref.shape[-2]
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nj = pl.num_programs(1)
     base = j * block
+    ext_rows = (block + window - 1) * wg
 
-    # Cotangents arrive row-flattened ((n, hp*wg, c)); see forward kernel.
-    copy = pltpu.make_async_copy(
-        g_hbm.at[i, pl.ds(base * wg, (block + window - 1) * wg)], g_vmem, sem
-    )
-    copy.start()
-    copy.wait()
+    # Cotangents arrive row-flattened ((n, hp*wg, c)); the window is DMA'd
+    # into a double-buffered scratch (next program's copy started before this
+    # program's compute — see forward kernel).
+    def start_copy(slot, ii, bb):
+        pltpu.make_async_copy(
+            g_hbm.at[ii, pl.ds(bb * wg, ext_rows)],
+            g_vmem.at[slot],
+            sem.at[slot],
+        ).start()
+
+    step = i * nj + j
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        start_copy(0, i, base)
+
+    @pl.when(step + 1 < pl.num_programs(0) * nj)
+    def _():
+        nxt_i = jax.lax.select(j + 1 < nj, i, i + 1)
+        nxt_b = jax.lax.select(j + 1 < nj, (j + 1) * block, 0)
+        start_copy(jax.lax.rem(step + 1, 2), nxt_i, nxt_b)
+
+    pltpu.make_async_copy(
+        g_hbm.at[i, pl.ds(base * wg, ext_rows)],
+        g_vmem.at[slot],
+        sem.at[slot],
+    ).wait()
 
     # Transposed flattened form with the separable weights split the other
     # way: df[y] = Wx_flat(window*wg, w)^T-contracted-with (wy * g)_flat.
@@ -201,8 +250,8 @@ def _grad_kernel(
 
         jax.lax.fori_loop(0, window, build_wy, 0)
 
-        gw = (wy_vmem[...] * g_vmem[r * wg : (r + window) * wg]).astype(
-            g_vmem.dtype
+        gw = (wy_vmem[...] * g_vmem[slot, r * wg : (r + window) * wg]).astype(
+            g_hbm.dtype
         )
         acc = jax.lax.dot_general(
             wx_vmem[r * wg : (r + window) * wg],
@@ -250,9 +299,11 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
         ],
         out_specs=pl.BlockSpec((1, block, wg, c), lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((w, (block + window - 1) * c), features_nhwc.dtype),
+            pltpu.VMEM(
+                (2, w, (block + window - 1) * c), features_nhwc.dtype
+            ),
             pltpu.VMEM((wg, window * c), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x0, tx, y0, ty, padded)
     return out[..., :c_in]
@@ -292,10 +343,10 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
         ],
         out_specs=pl.BlockSpec((1, block, w, c), lambda i, j: (i, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM(((block + window - 1) * wg, c), dtype),
+            pltpu.VMEM((2, (block + window - 1) * wg, c), dtype),
             pltpu.VMEM(((block + window - 1) * wg, w), dtype),
             pltpu.VMEM((window * wg, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x0_pad, tx_pad, y0_pad, ty_pad, g_pad)
     return df[..., :c_in]

@@ -33,7 +33,7 @@ import numpy as np
 from jaxtyping import Array, Float
 
 
-def radius_for_flows(flow_y: np.ndarray, height: int, margin: int = 2) -> int:
+def radius_for_flows(flow_y: np.ndarray, height: int, margin: int = 1) -> int:
     """Static vertical radius covering a concrete flow field (host-side)."""
     max_dy = float(np.max(np.abs(np.asarray(flow_y)))) * height
     return int(np.ceil(max_dy)) + margin
