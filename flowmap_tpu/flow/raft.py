@@ -463,3 +463,87 @@ def load_params(path) -> dict:
 
     checkpoint = torch.load(path, map_location="cpu", weights_only=False)
     return convert_torch_state_dict(checkpoint)
+
+
+def _torchvision_key_to_princeton(key: str) -> str | None:
+    """torchvision `raft_large` state_dict key -> princeton-vl key.
+
+    torchvision (torchvision/models/optical_flow/raft.py) wraps the identical
+    architecture in Conv2dNormActivation blocks: `feature_encoder` /
+    `context_encoder` (fnet/cnet), `update_block.motion_encoder` (encoder),
+    `update_block.recurrent_block.convgru{1,2}` (gru conv*{1,2}),
+    `mask_predictor` (update_block.mask). Returns None for keys with no
+    princeton counterpart (e.g. num_batches_tracked).
+    """
+    import re
+
+    if "num_batches_tracked" in key:
+        return None
+
+    k = key
+    for tv, pv in (("feature_encoder.", "fnet."), ("context_encoder.", "cnet.")):
+        if k.startswith(tv):
+            k = pv + k.removeprefix(tv)
+            # Stem: convnormrelu.0 -> conv1, convnormrelu.1 -> norm1.
+            k = k.replace(".convnormrelu.0.", ".conv1.")
+            k = k.replace(".convnormrelu.1.", ".norm1.")
+            # Residual blocks: convnormreluN.{0,1} -> convN / normN.
+            k = re.sub(r"\.convnormrelu(\d)\.0\.", r".conv\1.", k)
+            k = re.sub(r"\.convnormrelu(\d)\.1\.", r".norm\1.", k)
+            # Head 1x1: .conv. -> .conv2. (but not conv1/conv2 block convs).
+            k = re.sub(r"^(fnet|cnet)\.conv\.", r"\1.conv2.", k)
+            return k
+
+    if k.startswith("update_block.motion_encoder."):
+        k = k.removeprefix("update_block.motion_encoder.")
+        renames = {
+            "convcorr1.0.": "convc1.",
+            "convcorr2.0.": "convc2.",
+            "convflow1.0.": "convf1.",
+            "convflow2.0.": "convf2.",
+            "conv.0.": "conv.",
+        }
+        for tv, pv in renames.items():
+            if k.startswith(tv):
+                return "update_block.encoder." + pv + k.removeprefix(tv)
+        return None
+
+    if k.startswith("update_block.recurrent_block.convgru"):
+        m = re.match(
+            r"update_block\.recurrent_block\.convgru(\d)\.conv([zrq])\.(.*)", k
+        )
+        if m:
+            stage, gate, rest = m.groups()
+            return f"update_block.gru.conv{gate}{stage}.{rest}"
+        return None
+
+    if k.startswith("update_block.flow_head."):
+        return k  # names coincide
+
+    if k.startswith("mask_predictor."):
+        k = k.removeprefix("mask_predictor.")
+        if k.startswith("convrelu.0."):
+            return "update_block.mask.0." + k.removeprefix("convrelu.0.")
+        if k.startswith("conv."):
+            return "update_block.mask.2." + k.removeprefix("conv.")
+        return None
+
+    return None
+
+
+def convert_torchvision_state_dict(state_dict: dict) -> dict:
+    """torchvision `raft_large` (Raft_Large_Weights) -> JAX params.
+
+    The reference loads RAFT through torchvision
+    (`flowmap/flow/flow_predictor_raft.py:24-33`); this renames its module
+    tree onto the princeton layout and reuses `convert_torch_state_dict`.
+    NOTE: torchvision itself is not installable in this zero-egress image, so
+    the rename map is validated structurally (bijection onto the princeton
+    schema, tests/test_raft.py) rather than against a live torchvision model.
+    """
+    renamed = {}
+    for key, value in state_dict.items():
+        new_key = _torchvision_key_to_princeton(key)
+        if new_key is not None:
+            renamed[new_key] = value
+    return convert_torch_state_dict(renamed)
