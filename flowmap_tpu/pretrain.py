@@ -79,21 +79,25 @@ def pretrain(cfg: PretrainCfg) -> None:
             params=load_params(Path(cfg.checkpoint.load), state.params)
         )
 
-    # On-the-fly frozen flow predictor (GMFlow by default).
-    from .flow.predictors import FlowPredictorGMFlowCfg
+    # On-the-fly frozen flow predictor (GMFlow or RAFT — the reference
+    # supports both everywhere, flowmap/flow/__init__.py:9-14).
+    from .flow.predictors import FlowPredictorGMFlowCfg, FlowPredictorRaftCfg
 
     if isinstance(cfg.flow, FlowPredictorGMFlowCfg):
         from .flow.gmflow import GMFlowPredictor
 
         predictor = GMFlowPredictor(cfg.flow)
+    elif isinstance(cfg.flow, FlowPredictorRaftCfg):
+        from .flow.raft import RaftPredictor
 
-        def flow_fn(batch_for_flow: Batch, model_shape):
-            return compute_bidirectional_flow(
-                predictor.__call__, batch_for_flow, model_shape
-            )
-
+        predictor = RaftPredictor(cfg.flow)
     else:
-        raise NotImplementedError(f"pretrain flow predictor: {cfg.flow.name}")
+        raise ValueError(f"pretrain flow predictor: {cfg.flow.name}")
+
+    def flow_fn(batch_for_flow: Batch, model_shape):
+        return compute_bidirectional_flow(
+            predictor.__call__, batch_for_flow, model_shape
+        )
 
     step_fn = jax.jit(
         make_pretrain_step(

@@ -117,7 +117,13 @@ def _make_flow_fn(cfg: FlowPredictorCfg) -> Callable:
         from .flow.gmflow import GMFlowPredictor
 
         return GMFlowPredictor(cfg)
-    raise NotImplementedError(f"subsample flow predictor: {cfg.name}")
+    from .flow.predictors import FlowPredictorRaftCfg
+
+    if isinstance(cfg, FlowPredictorRaftCfg):
+        from .flow.raft import RaftPredictor
+
+        return RaftPredictor(cfg)
+    raise ValueError(f"subsample flow predictor: {cfg.name}")
 
 
 def subsample(cfg: SubsampleCfg) -> None:

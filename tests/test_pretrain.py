@@ -75,3 +75,29 @@ def test_run_pretrain_loop():
     assert seen == [2, 4]
     assert int(state.step) == 4
     assert len(info["history"]["loss/total"]) == 2
+
+
+def test_raft_predictor_in_flow_paths():
+    """RAFT is accepted everywhere the reference accepts it
+    (`flowmap/flow/__init__.py:9-14`): pretrain flow_fn + subsample +
+    compute_flows (random weights; numerics are covered by
+    tests/test_raft.py)."""
+    from flowmap_tpu.flow.common import compute_bidirectional_flow
+    from flowmap_tpu.flow.predictors import FlowPredictorRaftCfg
+    from flowmap_tpu.flow.raft import RaftPredictor
+
+    batch, _, _ = make_scene(
+        SyntheticSceneCfg(num_frames=3, image_shape=(128, 128))
+    )
+    predictor = RaftPredictor(
+        FlowPredictorRaftCfg(num_flow_updates=2, max_batch_size=4)
+    )
+    flows = compute_bidirectional_flow(predictor, batch, (64, 64))
+    assert flows.forward.shape == (1, 2, 64, 64, 2)
+    assert flows.backward.shape == (1, 2, 64, 64, 2)
+    assert bool(jnp.all(jnp.isfinite(flows.forward)))
+
+    from flowmap_tpu.subsample import _make_flow_fn
+
+    fn = _make_flow_fn(FlowPredictorRaftCfg(num_flow_updates=2))
+    assert isinstance(fn, RaftPredictor)
