@@ -51,7 +51,10 @@ PROC = ExtrinsicsProcrustesCfg(num_points=1000)
 
 
 def run(name, backbone, intrinsics, tracks):
+    from flowmap_tpu.training.overfit import _autosize_warp_radius
+
     mc = ModelCfg(backbone=backbone, intrinsics=intrinsics, extrinsics=PROC)
+    mc = _autosize_warp_radius(mc, flows, H)
     loss_cfgs = [LossFlowCfg()] + ([LossTrackingCfg()] if tracks is not None else [])
     state, opt = init_train_state(mc, OverfitTrainerCfg(), F, (H, W))
     step = jax.jit(make_train_step(mc, loss_cfgs, opt, jax.random.PRNGKey(0)))

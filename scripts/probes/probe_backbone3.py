@@ -1,5 +1,6 @@
 """apply_midas decomposition with host-fetch timing."""
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
