@@ -37,14 +37,30 @@ class BackboneMidasCfg:
     # forward FLOPs for a large cut in live activation memory (the 150-frame
     # reference workload does not fit HBM otherwise).
     remat: bool = False
-    # Feature-warp implementation. "pallas" = fused VMEM kernel
-    # (ops/pallas/warp_kernel.py, fastest; no gradient to the frozen flow);
+    # Feature-warp implementation. "fused" = single Pallas pass computing
+    # upsample-x2 + warp + weight MLP straight from the native-resolution
+    # decoder features (ops/pallas/corr_weights.py; fastest — no full-res
+    # feature map ever exists); "pallas" = fused VMEM warp kernel
+    # (ops/pallas/warp_kernel.py; no gradient to the frozen flow);
     # "matmul" = gather-free windowed one-hot matmuls (ops/warp.py);
     # "gather" = torch-semantics grid_sample (any displacement). The
-    # pallas/matmul paths are exact while vertical flow displacements stay
-    # within warp_radius pixels (callers size the radius from the flow).
-    warp_impl: Literal["pallas", "matmul", "gather"] = "pallas"
+    # fused/pallas/matmul paths are exact while vertical flow displacements
+    # stay within warp_radius pixels (callers size the radius from the
+    # flow); "fused" additionally needs MiDaS_small, batch 1, h % 16 == 0,
+    # w <= 256, radius <= 6, and falls back to "pallas" otherwise.
+    warp_impl: Literal["fused", "pallas", "matmul", "gather"] = "fused"
     warp_radius: int = 16
+    # Where the correspondence-weight MLP runs. The reference upsamples the
+    # half-resolution decoder features x2, warps them by full-res flow, and
+    # evaluates the MLP per full-res pixel (backbone_midas.py:57-64,75-127).
+    # The upsample adds no information — full-res features are a bilinear
+    # blend of the native ones — so "native" (TPU-first default) warps and
+    # evaluates at the feature grid's own resolution and bilinearly
+    # upsamples the resulting scalar weight map instead of 64 feature
+    # channels: ~4x less compute and HBM traffic for an equally-informed,
+    # slightly smoother gating field. "full" reproduces the reference
+    # formulation exactly (the fused kernel or the warp+MLP composition).
+    weights_resolution: Literal["full", "native"] = "native"
 
 
 # Channel width of the penultimate decoder features per model variant
@@ -133,9 +149,99 @@ def apply_midas(
     else:  # "exp" — for use with random initialization
         depths = jnp.exp(head_out / 1000.0) + 0.01
 
-    features = resize_bilinear(features, (h, w)) / 20.0
-
     depths = depths.reshape(b, f, h, w)
+
+    cn, hn, wn = features.shape[1], features.shape[2], features.shape[3]
+
+    # Native-resolution weights (TPU-first default, see cfg docstring): warp
+    # the half-res features by 2x2-mean-pooled flow (box-filtered bilinear
+    # downsample of the normalized flow field — exact for factor 2 at
+    # half-pixel centers), run the MLP on the native grid, and upsample the
+    # scalar weight map. 1/4 the pixels of the reference formulation and the
+    # upsample moves from 64 channels to 1.
+    if (
+        cfg.weight_sensitivity is None
+        and cfg.weights_resolution == "native"
+        and (2 * hn, 2 * wn) == (h, w)
+    ):
+        feats = (features / 20.0).reshape(b, f, cn, hn, wn)
+        fb = flows.backward.astype(jnp.float32)
+        fb_half = fb.reshape(b, f - 1, hn, 2, wn, 2, 2).mean(axis=(3, 5))
+        xy, _ = sample_image_grid((hn, wn), dtype=jnp.float32)
+        grid = (xy + fb_half) * 2.0 - 1.0  # (b, f-1, hn, wn, 2)
+        flat_feats = earlier(feats).reshape(b * (f - 1), cn, hn, wn)
+        flat_grid = grid.reshape(b * (f - 1), hn, wn, 2)
+        # Vertical excursions shrink by the downsample factor; +1 margin
+        # for the box filter.
+        radius = max(2, (cfg.warp_radius + 1) // 2 + 1)
+        if cfg.warp_impl in ("fused", "pallas"):
+            from ...ops.pallas.warp_kernel import warp_features
+
+            warped = warp_features(
+                flat_feats,
+                jax.lax.stop_gradient(flat_grid.astype(flat_feats.dtype)),
+                radius,
+            )
+        elif cfg.warp_impl == "matmul":
+            from ...ops.warp import warp_bilinear_matmul
+
+            warped = warp_bilinear_matmul(
+                flat_feats, flat_grid.astype(flat_feats.dtype), radius=radius
+            )
+        else:
+            warped = grid_sample_2d(
+                flat_feats,
+                jax.lax.stop_gradient(flat_grid),
+                padding_mode="zeros",
+            )
+        mlp_params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype), params["corr_weighter"]
+        )
+        layer0 = mlp_params[0]
+        w_a = layer0["kernel"][:cn]
+        w_b = layer0["kernel"][cn:]
+        later_feats = later(feats).reshape(b * (f - 1), cn, hn, wn)
+        x = (
+            jnp.einsum("nchw,ck->nhwk", warped, w_a)
+            + jnp.einsum("nchw,ck->nhwk", later_feats, w_b)
+            + layer0["bias"]
+        )
+        x = jax.nn.relu(x)
+        logits = _apply_weight_mlp(mlp_params[1:], x).astype(jnp.float32)
+        weights_half = jnp.clip(jax.nn.sigmoid(logits[..., 0]), min=1e-4)
+        weights = resize_bilinear(weights_half[:, None], (h, w))[:, 0]
+        return BackboneOutput(
+            depths=depths, weights=weights.reshape(b, f - 1, h, w)
+        )
+
+    # Fused full-resolution path: weights straight from the native (h/2,
+    # w/2) decoder features — the x2 upsample, the warp, and the MLP all
+    # happen inside one Pallas kernel; no full-resolution feature map is
+    # ever materialized (ops/pallas/corr_weights.py). Gradients flow to the
+    # features and the MLP; the flow grid is frozen (as in every path).
+    if (
+        cfg.warp_impl == "fused"
+        and cfg.weight_sensitivity is None
+        and b == 1
+        and cn == 64
+        and (2 * hn, 2 * wn) == (h, w)
+        and h % 16 == 0
+        and wn <= 128
+        and cfg.warp_radius <= 6
+    ):
+        from ...ops.pallas.corr_weights import corr_weights
+
+        xy, _ = sample_image_grid((h, w), dtype=jnp.float32)
+        grid = (xy + flows.backward) * 2.0 - 1.0  # (1, f-1, h, w, 2)
+        weights = corr_weights(
+            jnp.transpose(features, (0, 2, 3, 1)),
+            grid[0],
+            params["corr_weighter"],
+            cfg.warp_radius,
+        )[None]
+        return BackboneOutput(depths=depths, weights=weights)
+
+    features = resize_bilinear(features, (h, w)) / 20.0
     features = features.reshape(b, f, -1, h, w)
 
     if cfg.weight_sensitivity is None:
@@ -144,7 +250,7 @@ def apply_midas(
         c = features.shape[2]
         flat_feats = earlier(features).reshape(b * (f - 1), c, h, w)
         flat_grid = grid.reshape(b * (f - 1), h, w, 2)
-        if cfg.warp_impl == "pallas":
+        if cfg.warp_impl in ("fused", "pallas"):
             from ...ops.pallas.warp_kernel import warp_features
 
             warped = warp_features(
