@@ -343,6 +343,13 @@ def _forward_kernel(
 
     dtype = f_hbm.dtype
     cols = jax.lax.broadcasted_iota(jnp.int32, (wf, 128), 1)
+    # Lane q of a window tensor belongs to padded native row (q // c) —
+    # evaluating the vertical tap weights densely over all span*c lanes in
+    # one pass replaces a per-pair loop of (wf, 1) ops, each of which costs
+    # as much as a full (wf, 128) op on the VPU.
+    slot_rel = (
+        jax.lax.broadcasted_iota(jnp.int32, (wf, span * c), 1) // c
+    ).astype(jnp.float32)
     lanef = jax.lax.broadcasted_iota(jnp.int32, (wf, 2 * c), 1).astype(
         jnp.float32
     )
@@ -381,22 +388,20 @@ def _forward_kernel(
             preferred_element_type=jnp.float32,
         )  # (wf, span*c)
 
-        # Vertical taps (data-dependent): absolute padded native indices.
+        # Vertical taps (data-dependent): dense lane evaluation over the
+        # whole window, then a pair-summed reduction of wy * ow.
         taps = []
         for dq, wq in ((0, 1.0 - ty), (1, ty)):
             taps.extend(_expand_taps(y0 + dq, wq, hf, _PADY))
         row_lo_abs = win_lo + off
-        acc_w = jnp.zeros((wf, 2 * c), jnp.float32)
-        for p in range(span // 2):
-            s_even = (row_lo_abs + 2 * p).astype(jnp.float32)
-            wy_lo = jnp.zeros((wf, 1), jnp.float32)
-            wy_hi = jnp.zeros((wf, 1), jnp.float32)
-            for idx, wgt in taps:
-                fi = idx.astype(jnp.float32)
-                wy_lo = wy_lo + _hit(fi - s_even) * wgt
-                wy_hi = wy_hi + _hit(fi - (s_even + 1.0)) * wgt
-            wy_pair = wy_lo * lo_mask + wy_hi * hi_mask
-            acc_w = acc_w + wy_pair * ow[:, 2 * p * c : (2 * p + 2) * c]
+        rowf = slot_rel + row_lo_abs.astype(jnp.float32)
+        wy_full = jnp.zeros((wf, span * c), jnp.float32)
+        for idx, wgt in taps:
+            wy_full = wy_full + _hit(idx.astype(jnp.float32) - rowf) * wgt
+        prod = wy_full * ow
+        acc_w = prod[:, 0 : 2 * c]
+        for p in range(1, span // 2):
+            acc_w = acc_w + prod[:, 2 * p * c : (2 * p + 2) * c]
 
         # Later branch: static vertical taps of output row base + r. With
         # block % 4 == 0, base >> 1 is even, so lat_lo = (base >> 1) +
@@ -624,6 +629,10 @@ def _backward_kernel(
     lo_mask = jnp.clip(jnp.float32(c) - lanef, 0.0, 1.0)
     hi_mask = 1.0 - lo_mask
     lane0 = jnp.clip(1.0 - lanef, 0.0, 1.0)  # (wf, 128) col-0 selector
+    # Dense vertical-tap lane grid (see the forward kernel's slot_rel note).
+    slot_rel = (
+        jax.lax.broadcasted_iota(jnp.int32, (wf, span * c), 1) // c
+    ).astype(jnp.float32)
 
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (wf, 1), 0)
     wx_later = jnp.zeros((wf, 128), jnp.float32)
@@ -678,19 +687,14 @@ def _backward_kernel(
         # runtime offset cancels in (idx - s) comparisons only when both are
         # absolute; reconstruct absolute slot rows from base_row.
         row_lo_abs = base_row - (off // 2) + _row_lo(r, radius)
-        wy_pairs = []
-        acc_w = jnp.zeros((wf, 2 * c), jnp.float32)
-        for p in range(span // 2):
-            s_even = (row_lo_abs + 2 * p).astype(jnp.float32)
-            wy_lo = jnp.zeros((wf, 1), jnp.float32)
-            wy_hi = jnp.zeros((wf, 1), jnp.float32)
-            for idx, wgt in taps:
-                fi = idx.astype(jnp.float32)
-                wy_lo = wy_lo + _hit(fi - s_even) * wgt
-                wy_hi = wy_hi + _hit(fi - (s_even + 1.0)) * wgt
-            wy_pair = wy_lo * lo_mask + wy_hi * hi_mask
-            wy_pairs.append(wy_pair)
-            acc_w = acc_w + wy_pair * ow[:, 2 * p * c : (2 * p + 2) * c]
+        rowf = slot_rel + row_lo_abs.astype(jnp.float32)
+        wy_full = jnp.zeros((wf, span * c), jnp.float32)
+        for idx, wgt in taps:
+            wy_full = wy_full + _hit(idx.astype(jnp.float32) - rowf) * wgt
+        prod = wy_full * ow
+        acc_w = prod[:, 0 : 2 * c]
+        for p in range(1, span // 2):
+            acc_w = acc_w + prod[:, 2 * p * c : (2 * p + 2) * c]
 
         l0_rel = (r >> 1) + (r & 1) - 1 + _PADY
         parr = r & 1
@@ -764,22 +768,15 @@ def _backward_kernel(
             g_h0c, wb2t_ref[...], preferred_element_type=jnp.float32
         )
 
-        # ---- dFe: transposed warp into owned pairs.
+        # ---- dFe: transposed warp into owned pairs. Owned pair p_own sits
+        # at window slot 2*p_own + off//2 - _row_lo(r) (static, even; the
+        # jb*nbn offset cancels); pairs outside [0, span-2] have zero tap
+        # weight by the window-coverage construction.
         for p_own in range(nbn // 2):
-            s_abs = base_row + 2 * p_own
-            # Static possibility filter: this row's window must overlap.
-            lo_stat = -(off // 2) + _row_lo(r, radius)
-            hi_stat = lo_stat + span - 1
-            if 2 * p_own + 1 < lo_stat or 2 * p_own > hi_stat:
+            slot = 2 * p_own + off // 2 - _row_lo(r, radius)
+            if slot < 0 or slot > span - 2:
                 continue
-            s_even = jnp.float32(s_abs)
-            wy_lo = jnp.zeros((wf, 1), jnp.float32)
-            wy_hi = jnp.zeros((wf, 1), jnp.float32)
-            for idx, wgt in taps:
-                fi = idx.astype(jnp.float32)
-                wy_lo = wy_lo + _hit(fi - s_even) * wgt
-                wy_hi = wy_hi + _hit(fi - (s_even + 1.0)) * wgt
-            wy_pair = wy_lo * lo_mask + wy_hi * hi_mask
+            wy_pair = wy_full[:, slot * c : (slot + 2) * c]
             m = jax.lax.dot_general(
                 wx,
                 (wy_pair * g_accw).astype(dtype),
