@@ -45,12 +45,21 @@ def get_dataset(
     dataset_cfgs: list,
     stage: Stage,
     frame_sampler_cfg: FrameSamplerCfg,
+    seed: int = 0,
 ) -> DatasetMerged:
-    """Registry factory (reference: `flowmap/dataset/__init__.py:28-37`)."""
-    datasets = [
-        DATASETS[cfg.name](cfg, stage, frame_sampler_cfg) for cfg in dataset_cfgs
-    ]
-    return DatasetMerged(datasets)
+    """Registry factory (reference: `flowmap/dataset/__init__.py:28-37`).
+
+    `seed` differentiates shuffling across data-parallel ranks (the
+    reference's `seed + global_rank` worker seeding,
+    `flowmap/dataset/data_module_pretrain.py:56-61`)."""
+    datasets = []
+    for cfg in dataset_cfgs:
+        cls = DATASETS[cfg.name]
+        if cfg.name in ("co3d", "re10k"):
+            datasets.append(cls(cfg, stage, frame_sampler_cfg, seed=seed))
+        else:
+            datasets.append(cls(cfg, stage, frame_sampler_cfg))
+    return DatasetMerged(datasets, seed=seed)
 
 
 __all__ = [

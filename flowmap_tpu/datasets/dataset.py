@@ -231,20 +231,50 @@ class DatasetCOLMAP:
 
 
 class DatasetMerged:
-    """Interleave multiple datasets proportionally (`dataset_merged.py:5-31`)."""
+    """Interleave multiple datasets proportionally (`dataset_merged.py:5-31`).
 
-    def __init__(self, datasets: list) -> None:
+    Like the reference, iteration yields from each child with probability
+    proportional to its remaining length, so map-style (images/llff/co3d) and
+    iterable (re10k) children mix in one stream. `__getitem__` additionally
+    supports direct indexing when every child is map-style (the overfit path
+    reads `dataset[0]`); `is_iterable` tells loaders which access pattern to
+    use."""
+
+    def __init__(self, datasets: list, seed: int = 0) -> None:
         self.datasets = datasets
+        self.seed = seed
+        self._epoch = 0
+        self.is_iterable = not all(
+            hasattr(d, "__getitem__") for d in datasets
+        )
 
     def __len__(self) -> int:
         return sum(len(d) for d in self.datasets)
 
     def __getitem__(self, index: int) -> dict:
+        if self.is_iterable:
+            raise TypeError(
+                "merged dataset contains iterable-only children; iterate it"
+            )
         for dataset in self.datasets:
             if index < len(dataset):
                 return dataset[index]
             index -= len(dataset)
         raise IndexError(index)
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        remaining = [len(d) for d in self.datasets]
+        iterators = [iter(d) for d in self.datasets]
+        while sum(remaining) > 0:
+            chosen = int(rng.integers(0, sum(remaining)))
+            for i, left in enumerate(remaining):
+                if chosen < left:
+                    yield next(iterators[i])
+                    remaining[i] -= 1
+                    break
+                chosen -= left
 
 
 def example_to_batch(example: dict) -> tuple[Batch, list[Path]]:

@@ -38,9 +38,10 @@ class PrefetchLoader:
         self.prefetch = prefetch
 
     def _example_iter(self) -> Iterator[dict]:
-        if hasattr(self.dataset, "__iter__") and not hasattr(
+        iterable_only = hasattr(self.dataset, "__iter__") and not hasattr(
             self.dataset, "__getitem__"
-        ):
+        )
+        if iterable_only or getattr(self.dataset, "is_iterable", False):
             while True:
                 yield from iter(self.dataset)
         else:

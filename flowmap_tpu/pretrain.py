@@ -17,6 +17,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import PretrainCfg, compose_config
 from .datasets import get_dataset
@@ -55,7 +56,12 @@ def pretrain(cfg: PretrainCfg) -> None:
     logger = LocalLogger(Path(cfg.output_dir))
 
     # Force dataset-side image shape to the flow resolution (pretrain.py:33-36).
-    dataset = get_dataset(cfg.dataset, "train", cfg.frame_sampler)
+    dataset = get_dataset(
+        cfg.dataset,
+        "train",
+        cfg.frame_sampler,
+        seed=cfg.data_module.train.seed + jax.process_index(),
+    )
     loader = PrefetchLoader(
         dataset,
         batch_size=cfg.data_module.train.batch_size,
@@ -99,6 +105,19 @@ def pretrain(cfg: PretrainCfg) -> None:
             predictor.__call__, batch_for_flow, model_shape
         )
 
+    # Data parallelism: the global batch (local batch x process_count) is
+    # sharded on the mesh "data" axis; parameter/state inputs stay replicated
+    # and gradient all-reduce is implicit in the partitioner (the TPU-native
+    # equivalent of the reference's DDP, `flowmap/pretrain.py:54-59`).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.distributed import make_data_mesh, make_global_batch
+
+    mesh = make_data_mesh(cfg.data_module.train.batch_size)
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P("data"))
+    rank_zero = jax.process_index() == 0
+
     step_fn = jax.jit(
         make_pretrain_step(
             cfg.model,
@@ -109,25 +128,33 @@ def pretrain(cfg: PretrainCfg) -> None:
             cropping_cfg=cfg.cropping,
         ),
         donate_argnums=(0,),
+        in_shardings=(replicated, data_sharded, data_sharded),
     )
 
     checkpoint_dir = Path(cfg.output_dir) / "checkpoints"
     for step_index, example in enumerate(iter(loader)):
         if step_index >= cfg.trainer.max_steps:
             break
-        batch = _dict_to_batch(example)
+        batch = make_global_batch(_dict_to_batch(example), mesh)
         state, metrics = step_fn(state, batch, batch)
 
         if (step_index + 1) % cfg.trainer.val_check_interval == 0:
-            fetched = {k: float(v) for k, v in metrics.items()}
-            logger.log_metrics(fetched, step_index + 1)
-            pretty = " ".join(f"{k}={v:.5f}" for k, v in sorted(fetched.items()))
-            print(f"step {step_index + 1}: {pretty}")
+            fetched = {
+                k: float(np.asarray(v.addressable_data(0)))
+                for k, v in metrics.items()
+            }
+            if rank_zero:
+                logger.log_metrics(fetched, step_index + 1)
+                pretty = " ".join(
+                    f"{k}={v:.5f}" for k, v in sorted(fetched.items())
+                )
+                print(f"step {step_index + 1}: {pretty}")
 
             # Visualization step on the current batch (the reference's
             # ValidationWrapper yields one random example for the same
-            # purpose, `dataset/validation_wrapper.py`).
-            if cfg.visualizer:
+            # purpose, `dataset/validation_wrapper.py`). Runs eagerly on
+            # addressable data, so single-process only.
+            if cfg.visualizer and jax.process_count() == 1:
                 from .model.model import forward as model_forward
                 from .visualization import run_visualizers
 
@@ -191,8 +218,9 @@ def main() -> None:
     _apply_platform_override()
     from .utils.compile_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
-    if jax.process_count() > 1:
-        jax.distributed.initialize()
+    from .parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     cfg = compose_config("pretrain", PretrainCfg, sys.argv[1:])
     pretrain(cfg)
 

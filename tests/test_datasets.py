@@ -287,6 +287,33 @@ def test_co3d_sequences_and_cameras(co3d_root):
         np.testing.assert_allclose(ext @ (flip @ w2c), np.eye(4), atol=1e-4)
 
 
+def test_merged_interleaves_map_and_iterable(co3d_root, tmp_path):
+    """DatasetMerged mixes map-style (co3d) and iterable (re10k) children in
+    one proportional stream (`dataset_merged.py:5-31`)."""
+    from flowmap_tpu.datasets.dataset import DatasetMerged
+
+    co3d_path, _, _ = co3d_root
+    re10k_path, _ = _re10k_chunk(tmp_path)
+    co3d = DatasetCO3D(
+        DatasetCO3DCfg(root=co3d_path), "train", FrameSamplerPretrainCfg(4)
+    )
+    re10k = DatasetRE10k(
+        DatasetRE10kCfg(roots=(re10k_path,), image_shape=(16, 16)),
+        "train",
+        FrameSamplerPretrainCfg(4),
+    )
+    merged = DatasetMerged([co3d, re10k])
+    assert merged.is_iterable
+    assert len(merged) == 2
+    examples = list(merged)
+    assert sorted(e["datasets"] for e in examples) == ["co3d", "re10k"]
+
+    # Map-style-only merges stay indexable.
+    map_only = DatasetMerged([co3d])
+    assert not map_only.is_iterable
+    assert map_only[0]["datasets"] == "co3d"
+
+
 def test_co3d_category_filter(co3d_root):
     root, _, _ = co3d_root
     dataset = DatasetCO3D(
