@@ -47,9 +47,16 @@ class BackboneMidasCfg:
     # fused/pallas/matmul paths are exact while vertical flow displacements
     # stay within warp_radius pixels (callers size the radius from the
     # flow); "fused" additionally needs MiDaS_small, batch 1, h % 16 == 0,
-    # w <= 256, radius <= 6, and falls back to "pallas" otherwise.
+    # w <= 256, radius <= 6, and falls back to "pallas" otherwise. The
+    # native-resolution weight path additionally uses the static
+    # shift-window VPU warp (ops/warp.py:warp_bilinear_shifts) whenever
+    # BOTH radii are small (the common case after autosizing), which is
+    # several times faster than any kernel formulation there.
     warp_impl: Literal["fused", "pallas", "matmul", "gather"] = "fused"
     warp_radius: int = 16
+    # Horizontal displacement bound (pixels, feature resolution) for the
+    # shift-window warp; sized from the flow like warp_radius.
+    warp_radius_x: int = 16
     # Where the correspondence-weight MLP runs. The reference upsamples the
     # half-resolution decoder features x2, warps them by full-res flow, and
     # evaluates the MLP per full-res pixel (backbone_midas.py:57-64,75-127).
@@ -164,35 +171,62 @@ def apply_midas(
         and cfg.weights_resolution == "native"
         and (2 * hn, 2 * wn) == (h, w)
     ):
-        feats = (features / 20.0).reshape(b, f, cn, hn, wn)
         fb = flows.backward.astype(jnp.float32)
         fb_half = fb.reshape(b, f - 1, hn, 2, wn, 2, 2).mean(axis=(3, 5))
         xy, _ = sample_image_grid((hn, wn), dtype=jnp.float32)
         grid = (xy + fb_half) * 2.0 - 1.0  # (b, f-1, hn, wn, 2)
-        flat_feats = earlier(feats).reshape(b * (f - 1), cn, hn, wn)
         flat_grid = grid.reshape(b * (f - 1), hn, wn, 2)
         # Vertical excursions shrink by the downsample factor; +1 margin
         # for the box filter.
         radius = max(2, (cfg.warp_radius + 1) // 2 + 1)
-        if cfg.warp_impl in ("fused", "pallas"):
-            from ...ops.pallas.warp_kernel import warp_features
+        radius_x = max(2, (cfg.warp_radius_x + 1) // 2 + 1)
+        # Shift-window stencil warp whenever the tap window is small: all
+        # NHWC, all elementwise — no Pallas dispatch, no layout churn.
+        use_shifts = (
+            cfg.warp_impl in ("fused", "matmul")
+            and (2 * radius + 2) * (2 * radius_x + 2) <= 256
+        )
+        if use_shifts:
+            from ...ops.pallas.shift_warp import warp_shifts_tpu
 
-            warped = warp_features(
-                flat_feats,
-                jax.lax.stop_gradient(flat_grid.astype(flat_feats.dtype)),
+            feats_nhwc = (
+                jnp.transpose(features, (0, 2, 3, 1)).reshape(b, f, hn, wn, cn)
+                / 20.0
+            )
+            earlier_f = earlier(feats_nhwc).reshape(b * (f - 1), hn, wn, cn)
+            warped_nhwc = warp_shifts_tpu(
+                earlier_f,
+                jax.lax.stop_gradient(flat_grid.astype(jnp.float32)),
                 radius,
+                radius_x,
             )
-        elif cfg.warp_impl == "matmul":
-            from ...ops.warp import warp_bilinear_matmul
-
-            warped = warp_bilinear_matmul(
-                flat_feats, flat_grid.astype(flat_feats.dtype), radius=radius
-            )
+            later_nhwc = later(feats_nhwc).reshape(b * (f - 1), hn, wn, cn)
         else:
-            warped = grid_sample_2d(
-                flat_feats,
-                jax.lax.stop_gradient(flat_grid),
-                padding_mode="zeros",
+            feats = (features / 20.0).reshape(b, f, cn, hn, wn)
+            flat_feats = earlier(feats).reshape(b * (f - 1), cn, hn, wn)
+            if cfg.warp_impl in ("fused", "pallas"):
+                from ...ops.pallas.warp_kernel import warp_features
+
+                warped = warp_features(
+                    flat_feats,
+                    jax.lax.stop_gradient(flat_grid.astype(flat_feats.dtype)),
+                    radius,
+                )
+            elif cfg.warp_impl == "matmul":
+                from ...ops.warp import warp_bilinear_matmul
+
+                warped = warp_bilinear_matmul(
+                    flat_feats, flat_grid.astype(flat_feats.dtype), radius=radius
+                )
+            else:
+                warped = grid_sample_2d(
+                    flat_feats,
+                    jax.lax.stop_gradient(flat_grid),
+                    padding_mode="zeros",
+                )
+            warped_nhwc = jnp.transpose(warped, (0, 2, 3, 1))
+            later_nhwc = jnp.transpose(
+                later(feats).reshape(b * (f - 1), cn, hn, wn), (0, 2, 3, 1)
             )
         mlp_params = jax.tree_util.tree_map(
             lambda x: x.astype(dtype), params["corr_weighter"]
@@ -200,10 +234,9 @@ def apply_midas(
         layer0 = mlp_params[0]
         w_a = layer0["kernel"][:cn]
         w_b = layer0["kernel"][cn:]
-        later_feats = later(feats).reshape(b * (f - 1), cn, hn, wn)
         x = (
-            jnp.einsum("nchw,ck->nhwk", warped, w_a)
-            + jnp.einsum("nchw,ck->nhwk", later_feats, w_b)
+            jnp.einsum("nhwc,ck->nhwk", warped_nhwc, w_a)
+            + jnp.einsum("nhwc,ck->nhwk", later_nhwc, w_b)
             + layer0["bias"]
         )
         x = jax.nn.relu(x)

@@ -123,9 +123,10 @@ def _focal_to_k(
 
 def _softmin_sweep(
     cfg: IntrinsicsSoftminCfg,
-    batch: Batch,
-    flows: Flows,
-    backbone_output: BackboneOutput,
+    num_frames: int,
+    backward0: Float[Array, "b h w 2"],
+    depths01: Float[Array, "b 2 h w"],
+    weights0: Float[Array, "b h w"],
     key: jax.Array,
 ) -> tuple[Float[Array, "b f 3 3"], Float[Array, ""]]:
     """Stage-1 softmin over candidate focals (`intrinsics_softmin.py:84-141`).
@@ -139,9 +140,10 @@ def _softmin_sweep(
     serve all candidates (the reference repeats both 60x); only the tiny
     per-candidate Procrustes solves and reprojections remain batched over n.
     """
-    b, f, _, h, w = batch.videos.shape
+    b, h, w, _ = backward0.shape
+    f = num_frames
     n = cfg.num_candidates
-    dtype = batch.videos.dtype
+    dtype = depths01.dtype
     k_points = cfg.num_procrustes_points
 
     candidates = jnp.linspace(
@@ -163,14 +165,14 @@ def _softmin_sweep(
     # Unit-focal base surfaces for frames 0 and 1.
     xy, _ = sample_image_grid((h, w), dtype=dtype)
     dirs = jnp.concatenate([xy - 0.5, jnp.ones_like(xy[..., :1])], axis=-1)
-    base = dirs * backbone_output.depths[:, :2, :, :, None]  # (b, 2, h, w, 3)
+    base = dirs * depths01[:, :, :, :, None]  # (b, 2, h, w, 3)
 
     # Later-frame (frame 1) points at the sampled pixels.
     base_later = base[:, 1].reshape(b, h * w, 3)[:, indices]  # (b, k, 3)
 
     # Earlier-frame (frame 0) surface sampled where backward flow lands.
     xy_sub = xy.reshape(h * w, 2)[indices]
-    xy_earlier = (xy + flows.backward[:, 0]).reshape(b, h * w, 2)[:, indices]
+    xy_earlier = (xy + backward0).reshape(b, h * w, 2)[:, indices]
     base_earlier = grid_sample_points(
         base[:, 0].transpose(0, 3, 1, 2), xy_earlier, padding_mode="border"
     ).transpose(0, 2, 1)  # (b, k, 3)
@@ -179,7 +181,7 @@ def _softmin_sweep(
     p_later = base_later[:, None] * inv_scale[None, :, None]  # (b, n, k, 3)
     p_earlier = base_earlier[:, None] * inv_scale[None, :, None]
 
-    point_weights = backbone_output.weights[:, 0].reshape(b, h * w)[:, indices]
+    point_weights = weights0.reshape(b, h * w)[:, indices]
     rel = align_rigid(
         p_later, p_earlier, jnp.broadcast_to(point_weights[:, None], (b, n, k_points))
     )  # (b, n, 4, 4): frame-1 camera space -> frame-0 camera space
@@ -195,7 +197,7 @@ def _softmin_sweep(
     xy_flowed = project_camera_space(cam, candidate_k[None, :, None])
 
     flow = xy_flowed - xy_sub
-    flow_gt = flows.backward[:, :1].reshape(b, 1, h * w, 2)[:, :, indices]
+    flow_gt = backward0[:, None].reshape(b, 1, h * w, 2)[:, :, indices]
     pixel_weights = point_weights[:, None, :, None]
 
     error = jnp.sum(jnp.abs((flow - flow_gt) * pixel_weights), axis=(-1, -2))  # (b, n)
@@ -230,8 +232,14 @@ def apply_intrinsics(
         return _focal_to_k(params["focal_length"], batch), state
 
     assert isinstance(cfg, IntrinsicsSoftminCfg)
+    f = batch.videos.shape[1]
+    backward0 = flows.backward[:, 0]
+    depths01 = backbone_output.depths[:, :2]
+    weights0 = backbone_output.weights[:, 0]
     if cfg.regression is None:
-        softmin_k, _ = _softmin_sweep(cfg, batch, flows, backbone_output, key)
+        softmin_k, _ = _softmin_sweep(
+            cfg, f, backward0, depths01, weights0, key
+        )
         return softmin_k, state
 
     step = jnp.asarray(global_step)
@@ -241,7 +249,7 @@ def apply_intrinsics(
     # skipped entirely once the focal length is regressed — the reference
     # switches code paths the same way (`intrinsics_softmin.py:74-82`).
     def stage1(_):
-        return _softmin_sweep(cfg, batch, flows, backbone_output, key)
+        return _softmin_sweep(cfg, f, backward0, depths01, weights0, key)
 
     def stage2(_):
         return _focal_to_k(params["focal_length"], batch), jnp.zeros(())

@@ -111,16 +111,11 @@ def compute_track_flow(
     return xy_target, visibility
 
 
-def compute_track_flow_packed(
+def sample_track_points_packed(
     surfaces: Float[Array, "b f h w 3"],
-    extrinsics: Float[Array, "b f 4 4"],
-    intrinsics: Float[Array, "b f 3 3"],
     packed: TracksPacked,
-) -> tuple[
-    Float[Array, "b s fs ft p 2"],  # reprojected track locations
-    Bool[Array, "b s fs ft p"],  # joint visibility mask
-]:
-    """`compute_track_flow` over all packed segments at once.
+) -> tuple[Float[Array, "s l p 3"], Int[Array, "s l"]]:
+    """Bilinear-sample the surfaces at every packed track location.
 
     TPU formulation: per-segment frames come from ONE whole-frame-row gather
     (`surfaces[frame_idx]` — large contiguous rows, cheap), and the bilinear
@@ -148,6 +143,23 @@ def compute_track_flow_packed(
     seg_surfaces = surfaces[0][frame_idx]  # (s, l, h, w, 3) — whole-row gather
     rows = jnp.einsum("slpx,slyxc->slpyc", wx, seg_surfaces)
     xyz = jnp.einsum("slpy,slpyc->slpc", wy, rows)  # (s, l, p, 3)
+    return xyz, frame_idx
+
+
+def compute_track_flow_packed(
+    surfaces: Float[Array, "b f h w 3"],
+    extrinsics: Float[Array, "b f 4 4"],
+    intrinsics: Float[Array, "b f 3 3"],
+    packed: TracksPacked,
+) -> tuple[
+    Float[Array, "b s fs ft p 2"],  # reprojected track locations
+    Bool[Array, "b s fs ft p"],  # joint visibility mask
+]:
+    """`compute_track_flow` over all packed segments at once.
+
+    See `sample_track_points_packed` for the sampling formulation.
+    """
+    xyz, frame_idx = sample_track_points_packed(surfaces, packed)
 
     seg_extrinsics = extrinsics[0][frame_idx]  # (s, l, 4, 4)
     seg_intrinsics = intrinsics[0][frame_idx]  # (s, l, 3, 3)

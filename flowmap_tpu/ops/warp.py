@@ -28,6 +28,7 @@ flow through tx/ty exactly as in the gather formulation). No scatters.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jaxtyping import Array, Float
@@ -37,6 +38,137 @@ def radius_for_flows(flow_y: np.ndarray, height: int, margin: int = 1) -> int:
     """Static vertical radius covering a concrete flow field (host-side)."""
     max_dy = float(np.max(np.abs(np.asarray(flow_y)))) * height
     return int(np.ceil(max_dy)) + margin
+
+
+def _hit(d):
+    # max(0, 1 - |d|): exact one-hot for integer-valued f32 deltas.
+    return jnp.maximum(1.0 - jnp.abs(d), 0.0)
+
+
+def _shift_sample_params(grid, h, w):
+    """Pixel-space interpolation parameters for the shift-window stencil."""
+    x = ((grid[..., 0] + 1.0) * w - 1.0) * 0.5
+    y = ((grid[..., 1] + 1.0) * h - 1.0) * 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    # Integer-valued (f32) offset of the floor corner from the output pixel.
+    oxf = x0 - jnp.arange(w, dtype=x0.dtype)[None, None, :]
+    oyf = y0 - jnp.arange(h, dtype=y0.dtype)[None, :, None]
+    return oxf, tx, oyf, ty
+
+
+def _shift_weights(oxf, tx, oyf, ty, ry, rx):
+    wy = [
+        ((1.0 - ty) * _hit(oyf - sy) + ty * _hit(oyf - sy + 1.0))
+        for sy in range(-ry, ry + 2)
+    ]
+    wx = [
+        ((1.0 - tx) * _hit(oxf - sx) + tx * _hit(oxf - sx + 1.0))
+        for sx in range(-rx, rx + 2)
+    ]
+    return wy, wx
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def warp_bilinear_shifts(
+    input_nhwc: Float[Array, "n h w c"],
+    grid: Float[Array, "n h w 2"],
+    radius_y: int,
+    radius_x: int,
+) -> Float[Array, "n h w c"]:
+    """Bilinear displacement warp as a static shift-window stencil (VPU).
+
+    torch grid_sample(zeros, align_corners=False) semantics, restricted to
+    displacements within (radius_y, radius_x) pixels (callers size the radii
+    from the actual flow field). Each output pixel's 4 bilinear taps are
+    covered by a (2*radius_y + 2) x (2*radius_x + 2) window of STATICALLY
+    shifted image slices weighted by arithmetic one-hots — pure elementwise
+    math and pads/slices, which XLA fuses into one stencil loop. No gathers,
+    no scatters, no per-row matmuls: at the small radii of the
+    half-resolution correspondence-weight path this replaces an 84 ms/step
+    pair of Pallas warp kernels (reference-scale bench).
+
+    custom_vjp: the backward w.r.t. the features is hand-written in the SAME
+    shifted-slice stencil form (autodiff's transposed slice-accumulation
+    materializes one 280 MB temp per tap — OOM at reference scale). The
+    sampling grid carries NO gradient (frozen-flow use; its cotangent is
+    zero), exactly like the Pallas `warp_features` op.
+    """
+    return _shifts_forward(input_nhwc, grid, radius_y, radius_x)
+
+
+def _shifts_forward(input_nhwc, grid, ry, rx):
+    n, h, w, c = input_nhwc.shape
+    oxf, tx, oyf, ty = _shift_sample_params(grid, h, w)
+    wy, wx = _shift_weights(oxf, tx, oyf, ty, ry, rx)
+
+    # Out-of-image corners land in the zero padding, so "zeros" padding
+    # needs no explicit masking.
+    padded = jnp.pad(input_nhwc, ((0, 0), (ry, ry + 1), (rx, rx + 1), (0, 0)))
+    acc = jnp.zeros((n, h, w, c), dtype=jnp.float32)
+    for iy, sy in enumerate(range(-ry, ry + 2)):
+        for ix, sx in enumerate(range(-rx, rx + 2)):
+            wt = (wy[iy] * wx[ix]).astype(input_nhwc.dtype)
+            tap = jax.lax.slice(
+                padded,
+                (0, sy + ry, sx + rx, 0),
+                (n, sy + ry + h, sx + rx + w, c),
+            )
+            acc = acc + (wt[..., None] * tap).astype(jnp.float32)
+    return acc.astype(input_nhwc.dtype)
+
+
+def _shifts_fwd(input_nhwc, grid, ry, rx):
+    dtype_token = jnp.zeros((0,), input_nhwc.dtype)
+    return _shifts_forward(input_nhwc, grid, ry, rx), (grid, dtype_token)
+
+
+def _shifts_bwd(ry, rx, residuals, g):
+    """d_in[u, v] = sum_taps (wy_sy * wx_sx * g)[u - sy, v - sx].
+
+    Written as the forward's mirror image: pad the cotangent and the weight
+    FIELDS once, then accumulate shifted elementwise products — one fusable
+    stencil, no transposed-slice temps. Zero-padded g zeroes every
+    out-of-range term, so the weight fields need no sentinel padding.
+    """
+    grid, dtype_token = residuals
+    dtype = dtype_token.dtype
+    n, h, w, _ = grid.shape
+    oxf, tx, oyf, ty = _shift_sample_params(grid, h, w)
+
+    pad2 = ((0, 0), (ry + 1, ry), (rx + 1, rx))
+    g = g.astype(jnp.float32)
+    gp = jnp.pad(g, pad2 + ((0, 0),))
+    typ = jnp.pad(ty, pad2)
+    oyp = jnp.pad(oyf, pad2)
+    txp = jnp.pad(tx, pad2)
+    oxp = jnp.pad(oxf, pad2)
+
+    acc = jnp.zeros((n, h, w, g.shape[-1]), dtype=jnp.float32)
+    for sy in range(-ry, ry + 2):
+        for sx in range(-rx, rx + 2):
+            # Slice at offset (-sy, -sx) relative to the padded origin.
+            start = (0, ry + 1 - sy, rx + 1 - sx)
+            sl = lambda a, extra=0: jax.lax.slice(
+                a,
+                start + ((0,) if extra else ()),
+                (n, start[1] + h, start[2] + w) + ((g.shape[-1],) if extra else ()),
+            )
+            ty_s, oy_s = sl(typ), sl(oyp)
+            tx_s, ox_s = sl(txp), sl(oxp)
+            wt = (
+                (1.0 - ty_s) * _hit(oy_s - sy) + ty_s * _hit(oy_s - sy + 1.0)
+            ) * ((1.0 - tx_s) * _hit(ox_s - sx) + tx_s * _hit(ox_s - sx + 1.0))
+            acc = acc + wt[..., None] * sl(gp, extra=1)
+    return acc.astype(dtype), jnp.zeros_like(grid)
+
+
+warp_bilinear_shifts.defvjp(_shifts_fwd, _shifts_bwd)
 
 
 def warp_bilinear_matmul(

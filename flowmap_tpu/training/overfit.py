@@ -519,13 +519,19 @@ def _autosize_warp_radius(model_cfg: ModelCfg, flows: Flows, height: int) -> Mod
     import numpy as np
 
     backbone = model_cfg.backbone
-    if getattr(backbone, "warp_impl", None) not in ("matmul", "pallas"):
+    if getattr(backbone, "warp_impl", None) not in ("fused", "matmul", "pallas"):
         return model_cfg
     from ..ops.warp import radius_for_flows
 
-    radius = radius_for_flows(np.asarray(flows.backward[..., 1]), height)
+    height_ = flows.backward.shape[-3]
+    width = flows.backward.shape[-2]
+    radius = radius_for_flows(np.asarray(flows.backward[..., 1]), height_)
+    radius_x = radius_for_flows(np.asarray(flows.backward[..., 0]), width)
     return dataclasses.replace(
-        model_cfg, backbone=dataclasses.replace(backbone, warp_radius=radius)
+        model_cfg,
+        backbone=dataclasses.replace(
+            backbone, warp_radius=radius, warp_radius_x=radius_x
+        ),
     )
 
 

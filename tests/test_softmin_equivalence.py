@@ -84,7 +84,14 @@ def test_factored_sweep_matches_reference_formulation():
     )
     key = jax.random.PRNGKey(7)
 
-    got_k, _ = _softmin_sweep(cfg, batch, flows, bb, key)
+    got_k, _ = _softmin_sweep(
+        cfg,
+        batch.videos.shape[1],
+        flows.backward[:, 0],
+        bb.depths[:, :2],
+        bb.weights[:, 0],
+        key,
+    )
     want_mixed, _ = _reference_sweep(cfg, batch, flows, bb, key)
 
     np.testing.assert_allclose(
