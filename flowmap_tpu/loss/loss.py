@@ -19,11 +19,13 @@ from jaxtyping import Array, Float, Int
 from ..ops.geometry import (
     compute_backward_flow,
     compute_forward_flow,
+    homogenize_points,
+    rigid_inverse,
     sample_image_grid,
 )
-from ..ops.surface import compute_track_flow, compute_track_flow_packed
+from ..ops.surface import compute_track_flow, sample_track_points_packed
 from ..types import Flows, ModelOutput, Tracks, TracksPacked
-from .mapping import MappingCfg, apply_mapping
+from .mapping import MappingCfg, apply_mapping, apply_mapping_components
 
 
 @dataclass(frozen=True)
@@ -87,16 +89,9 @@ def loss_tracking(
     numerically identical, much cheaper to compile and run)."""
     h, w = image_shape
     if isinstance(tracks, TracksPacked):
-        xy_target, visibility = compute_track_flow_packed(
-            model_output.surfaces,
-            model_output.extrinsics,
-            model_output.intrinsics,
-            tracks,
+        loss_sum, valid_sum = _track_loss_packed_fused(
+            cfg, tracks, model_output, image_shape
         )
-        xy_target_gt = tracks.xy[:, :, None]  # b s 1 ft p 2
-        mapped = apply_mapping(cfg.mapping, xy_target, xy_target_gt, (h, w))
-        loss_sum = jnp.sum(mapped * visibility)
-        valid_sum = jnp.sum(visibility)
         return loss_sum / jnp.maximum(valid_sum, 1.0)
     loss_sum = jnp.zeros((), dtype=model_output.surfaces.dtype)
     valid_sum = jnp.zeros((), dtype=model_output.surfaces.dtype)
@@ -114,6 +109,72 @@ def loss_tracking(
         loss_sum = loss_sum + jnp.sum(mapped * visibility)
         valid_sum = valid_sum + jnp.sum(visibility)
     return loss_sum / jnp.maximum(valid_sum, 1.0)
+
+
+def _track_loss_packed_fused(
+    cfg: LossTrackingCfg,
+    tracks: TracksPacked,
+    model_output: ModelOutput,
+    image_shape: tuple[int, int],
+) -> tuple[Float[Array, ""], Float[Array, ""]]:
+    """All-pairs track reprojection loss as one batched 3x4 projection matmul.
+
+    Numerically equivalent to `compute_track_flow_packed` + `apply_mapping`
+    (up to float reassociation), but TPU-shaped: the per-pair intrinsics and
+    relative transform fold into a single projection matrix
+    M[s, fs, ft] = K_ft @ (E_ft^-1 @ E_fs)[:3, :], so the only large tensor
+    is ONE dot_general producing (s, fs, ft, 3, p) — u/v rows plus the
+    perspective denominator — laid out with the point axis last (lane
+    dimension, no transpose). The divide, robust mapping, visibility masks,
+    and reductions all fuse into the matmul's consumers instead of
+    materializing xy_target / mapped / visibility at the 61M-point all-pairs
+    size (which cost ~4x the matmul's own traffic). Reference semantics:
+    `flowmap/loss/loss_tracking.py:28-61` + `flowmap/model/projection.py:255-298`.
+    """
+    h, w = image_shape
+    surfaces = model_output.surfaces
+    xyz, frame_idx = sample_track_points_packed(surfaces, tracks)  # (s, l, p, 3)
+    seg_extrinsics = model_output.extrinsics[0][frame_idx]  # (s, l, 4, 4)
+    seg_intrinsics = model_output.intrinsics[0][frame_idx]  # (s, l, 3, 3)
+
+    # M[s, f, t] = K_t @ (E_t^-1 @ E_f)[:3, :] — projects homogeneous
+    # source-camera points straight to (u', v', z') with u = u'/(z' + eps).
+    relative = jnp.einsum(
+        "stij,sfjk->sftik", rigid_inverse(seg_extrinsics), seg_extrinsics
+    )
+    m = jnp.einsum("stij,sftjk->sftik", seg_intrinsics, relative[..., :3, :])
+
+    xyz_h = homogenize_points(xyz)  # (s, f, p, 4)
+    uvz = jnp.einsum("sftij,sfpj->sftip", m, xyz_h)  # (s, f, t, 3, p)
+
+    # Perspective divide (project_camera_space semantics: eps-guarded and
+    # inf-clamped; the nan_to_num lands on the quotient rather than on the
+    # pre-K components — identical wherever the denominator is finite).
+    eps, infinity = 1e-5, 1e8
+    denom = uvz[..., 2, :] + eps
+    nan = lambda q: jnp.nan_to_num(q, posinf=infinity, neginf=-infinity)
+    u = nan(uvz[..., 0, :] / denom)  # (s, f, t, p)
+    v = nan(uvz[..., 1, :] / denom)
+
+    gt = tracks.xy[0]  # (s, l, p, 2); GT for pair (fs, ft) is the track at ft
+    gt_u = gt[:, None, :, :, 0]  # (s, 1, t, p)
+    gt_v = gt[:, None, :, :, 1]
+
+    scale = (h * w) ** 0.5
+    mapped = apply_mapping_components(
+        cfg.mapping, (u - gt_u) * (w / scale), (v - gt_v) * (h / scale)
+    )
+
+    visibility = tracks.visibility[0]  # (s, l, p)
+    joint = visibility[:, :, None] & visibility[:, None]  # (s, f, t, p)
+    xy_source = tracks.xy[0]  # (s, f, p, 2)
+    source_in = (
+        jnp.all(xy_source >= 0, -1) & jnp.all(xy_source < 1, -1)
+    )[:, :, None]  # (s, f, 1, p)
+    target_in = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    mask = (joint & source_in & target_in).astype(mapped.dtype)
+
+    return jnp.sum(mapped * mask), jnp.sum(mask)
 
 
 def compute_losses(

@@ -46,10 +46,24 @@ def apply_mapping(
 ) -> Float[Array, "*b"]:
     """Aspect-corrected robust distance between coordinate arrays a and b."""
     delta = fix_aspect_ratio(a, image_shape) - fix_aspect_ratio(b, image_shape)
+    return apply_mapping_components(cfg, delta[..., 0], delta[..., 1])
+
+
+def apply_mapping_components(
+    cfg: MappingCfg,
+    du: Float[Array, "*b"],
+    dv: Float[Array, "*b"],
+) -> Float[Array, "*b"]:
+    """Mapping on an already-aspect-corrected componentwise delta.
+
+    Same math as `apply_mapping` without requiring the caller to materialize
+    a stacked (..., 2) delta tensor — the hot losses keep u/v as separate
+    planes so the whole mapping fuses into one elementwise XLA loop.
+    """
     if cfg.name == "l2":
         # 0.5 factor matches torch huber_loss conventions (mapping_l2.py:18-24).
-        return 0.5 * jnp.sum(delta * delta, axis=-1)
-    norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-24)
+        return 0.5 * (du * du + dv * dv)
+    norm = jnp.sqrt(du * du + dv * dv + 1e-24)
     if cfg.name == "l1":
         return norm
     if cfg.name == "huber":

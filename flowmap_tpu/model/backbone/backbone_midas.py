@@ -33,6 +33,12 @@ class BackboneMidasCfg:
     # traffic); geometry and losses stay float32. Depth/feature outputs are
     # cast back to float32.
     compute_dtype: Literal["float32", "bfloat16"] = "bfloat16"
+    # BatchNorm handling for MiDaS_small's encoder: "batch" = batch
+    # statistics (the reference's Lightning train-mode behavior); "folded" =
+    # BN folded into the preceding conv (how converted pretrained
+    # checkpoints arrive; also an ablation that removes every cross-frame
+    # reduction from the net).
+    bn: Literal["batch", "folded"] = "batch"
     # Rematerialize the depth net in the backward pass: trades ~1/3 extra
     # forward FLOPs for a large cut in live activation memory (the 150-frame
     # reference workload does not fit HBM otherwise).
@@ -83,7 +89,7 @@ def init_midas(
 ) -> dict:
     k_net, k_mlp = jax.random.split(key)
     if cfg.model == "MiDaS_small":
-        params: dict = {"midas": midas_small_init(k_net)}
+        params: dict = {"midas": midas_small_init(k_net, fold_bn=cfg.bn == "folded")}
     else:
         from .dpt_net import dpt_large_init
 

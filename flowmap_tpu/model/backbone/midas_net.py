@@ -67,13 +67,24 @@ def _bn_init(c: int):
 
 
 def _bn(params, x, eps: float = 1e-3):
-    """Batch-statistics normalization (training mode); folded for pretrained."""
+    """Batch-statistics normalization (training mode); folded for pretrained.
+
+    Statistics accumulate in f32 (strictly more accurate than reducing in the
+    bf16 compute dtype) with the two-pass centered variance: the one-pass
+    E[x^2] - m^2 form cancels catastrophically for low-variance channels, and
+    the 50-layer net amplifies that seed noise chaotically (measured: >50%
+    output divergence at random init). The affine application is pre-folded
+    into one scale/bias pair so the normalize step is a single fused
+    multiply-add in the compute dtype.
+    """
     if params is None:  # BN folded into the conv at weight conversion
         return x
-    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-    var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * params["scale"] + params["bias"]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2), keepdims=True)
+    scale = (jax.lax.rsqrt(var + eps) * params["scale"]).astype(x.dtype)
+    bias = (params["bias"] - mean * scale).astype(x.dtype)
+    return x * scale + bias
 
 
 def _relu6(x):
@@ -106,7 +117,10 @@ def _upsample2x(x, align_corners: bool = True):
 
     Applied as two small interp-matrix contractions on the MXU: the
     integer-indexing formulation lowers to a gather whose backward is a
-    TPU-hostile scatter-add; a matmul's transpose is a matmul.
+    TPU-hostile scatter-add, and a banded shifted-slice stencil (measured)
+    loses to the matmul on layout grounds — XLA assigns the pad/stack chain
+    batch-minor layouts and the fusions run far below HBM speed. A matmul's
+    transpose is a matmul.
     """
     n, h, w, c = x.shape
     ay = _interp_matrix(2 * h, h, align_corners, x.dtype)

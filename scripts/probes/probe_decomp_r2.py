@@ -91,6 +91,24 @@ VARIANTS = {
         [LossFlowCfg(), LossTrackingCfg()],
         True,
     ),
+    "folded_bn": (
+        dataclasses.replace(
+            bench_cfg(),
+            backbone=BackboneMidasCfg(pretrained=False, mapping="exp", bn="folded"),
+        ),
+        [LossFlowCfg(), LossTrackingCfg()],
+        True,
+    ),
+    "f32_net": (
+        dataclasses.replace(
+            bench_cfg(),
+            backbone=BackboneMidasCfg(
+                pretrained=False, mapping="exp", compute_dtype="float32"
+            ),
+        ),
+        [LossFlowCfg(), LossTrackingCfg()],
+        True,
+    ),
 }
 
 names = sys.argv[1:] or list(VARIANTS)

@@ -109,3 +109,38 @@ class TestComputeLosses:
                 assert float(individual["tracking"]) > 0
             else:
                 assert float(individual["tracking"]) == 0.0
+
+
+class TestPackedTrackLossEquivalence:
+    def test_packed_fused_matches_ragged(self):
+        """The fused packed track loss (one folded-projection matmul) must
+        match the ragged reference-semantics path on identical segments."""
+        from flowmap_tpu.tracking import pack_tracks
+        from flowmap_tpu.utils.synthetic import make_track_segments
+
+        batch, flows, depths = make_scene(
+            SyntheticSceneCfg(num_frames=12, image_shape=(24, 32))
+        )
+        h, w = 24, 32
+        xy, _ = sample_image_grid((h, w))
+        surfaces = unproject(xy, depths, batch.intrinsics[:, :, None, None])
+        # Perturb so the loss is nonzero (GT geometry would give ~0).
+        output = ModelOutput(
+            depths=depths * 1.2,
+            surfaces=surfaces * 1.2,
+            intrinsics=batch.intrinsics,
+            extrinsics=batch.extrinsics,
+            backward_correspondence_weights=jnp.ones((1, 11, h, w)),
+        )
+        segments = make_track_segments(
+            batch, depths, interval=4, radius=3, grid_size=5
+        )
+        packed = pack_tracks(segments, 12)
+
+        cfgs = [LossTrackingCfg(enable_after=0)]
+        ragged_total, _ = compute_losses(cfgs, flows, segments, output, 10, (h, w))
+        packed_total, _ = compute_losses(cfgs, flows, packed, output, 10, (h, w))
+        assert float(ragged_total) > 0
+        np.testing.assert_allclose(
+            float(packed_total), float(ragged_total), rtol=2e-4
+        )
