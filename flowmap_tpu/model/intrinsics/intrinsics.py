@@ -245,16 +245,20 @@ def apply_intrinsics(
     step = jnp.asarray(global_step)
     in_stage2 = step >= cfg.regression.after_step
 
-    # Only the active stage executes (lax.cond): the 60-candidate sweep is
-    # skipped entirely once the focal length is regressed — the reference
-    # switches code paths the same way (`intrinsics_softmin.py:74-82`).
-    def stage1(_):
-        return _softmin_sweep(cfg, f, backward0, depths01, weights0, key)
-
-    def stage2(_):
-        return _focal_to_k(params["focal_length"], batch), jnp.zeros(())
-
-    intrinsics, focal_estimate = jax.lax.cond(in_stage2, stage2, stage1, None)
+    # Both stages compute every step and a `where` picks the active one.
+    # A `lax.cond` matches the reference's dynamic stage switch
+    # (`intrinsics_softmin.py:74-82`) and does skip the sweep's FLOPs in
+    # stage 2 — but on TPU the conditional op serializes against the rest
+    # of the program and costs ~9 ms/step of scheduling overhead against a
+    # sweep whose actual compute is ~0.7 ms (measured; the sweep is tiny
+    # next to the backbone). Unconditional compute is strictly faster in
+    # BOTH stages.
+    sweep_k, sweep_focal = _softmin_sweep(
+        cfg, f, backward0, depths01, weights0, key
+    )
+    regressed_k = _focal_to_k(params["focal_length"], batch)
+    intrinsics = jnp.where(in_stage2, regressed_k, sweep_k)
+    focal_estimate = jnp.where(in_stage2, jnp.zeros(()), sweep_focal)
 
     # Ring-buffer update of the focal window during the trailing stage-1 steps.
     window = cfg.regression.window
