@@ -22,13 +22,18 @@ with negated offsets,
 
     d_in[u, v] = sum_{sy, sx} (wy_sy * wx_sx * g)[u - sy, v - sx],
 
-so the SAME kernel runs on the zero-padded cotangent with the parameter
+so the SAME stencil runs on the zero-padded cotangent with the parameter
 planes padded alongside and sliced at each tap's offset (zero-padded g
-nullifies out-of-range terms).
+nullifies out-of-range terms). The four padded planes are lane-concatenated
+into one (n, hp, 4*wp) array and DMA'd per row-window exactly like the
+features: every in-kernel slice then has a *static* (sub)lane offset, which
+Mosaic lowers at any radius (BlockSpec'd whole planes sliced at dynamic row
+offsets fail to prove 8-row alignment once the padded width spans multiple
+lane tiles).
 
 Both directions are exercised against the XLA stencil (itself verified
 against torch-semantics grid_sample) in interpret mode on CPU
-(tests/test_warp_shifts.py).
+(tests/test_shift_warp_kernel.py).
 """
 
 from __future__ import annotations
@@ -45,12 +50,31 @@ def _hit(d):
     return jnp.maximum(1.0 - jnp.abs(d), 0.0)
 
 
-def _stencil_kernel(
+def _feature_dma(block, window_rows, f_hbm, f_vmem, sem):
+    """Double-buffered row-window DMA schedule shared by both directions.
+
+    Returns the slot holding this program's window (after waiting on it) and
+    kicks off the next program's copy. `sem` is indexed [slot, stream] so a
+    second stream (the backward's parameter planes) can ride the same
+    schedule.
+    """
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    step = i * nj + j
+    slot = jax.lax.rem(step, 2)
+    nxt_i = jax.lax.select(j + 1 < nj, i, i + 1)
+    nxt_j = jax.lax.select(j + 1 < nj, j + 1, 0)
+    return slot, step, nxt_i, nxt_j
+
+
+def _stencil_fwd_kernel(
     block,
     ry,
     rx,
     w,
-    backward,
     tx_ref,
     ty_ref,
     oxf_ref,
@@ -60,30 +84,26 @@ def _stencil_kernel(
     f_vmem,
     sem,
 ):
-    """Accumulate the (2ry+2) x (2rx+2) tap window for one row block.
+    """Accumulate the (2ry+2) x (2rx+2) tap window for one output row block.
 
-    Forward: parameters are indexed at the OUTPUT pixel (one block row of
-    the unpadded planes). Backward: parameters are whole PADDED planes and
-    each tap slices them at the same offset as the data window (transposed
-    stencil).
+    Parameters are indexed at the OUTPUT pixel (one block row of the
+    unpadded planes, via BlockSpec).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     window_rows = block + 2 * ry + 1
+    slot, step, nxt_i, nxt_j = _feature_dma(block, window_rows, f_hbm, f_vmem, sem)
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
-    def start_copy(slot, ii, jj):
+    def start_copy(s, ii, jj):
         pltpu.make_async_copy(
             f_hbm.at[ii, pl.ds(jj * block, window_rows)],
-            f_vmem.at[slot],
-            sem.at[slot],
+            f_vmem.at[s],
+            sem.at[s],
         ).start()
-
-    step = i * nj + j
-    slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
     def _():
@@ -91,8 +111,6 @@ def _stencil_kernel(
 
     @pl.when(step + 1 < pl.num_programs(0) * nj)
     def _():
-        nxt_i = jax.lax.select(j + 1 < nj, i, i + 1)
-        nxt_j = jax.lax.select(j + 1 < nj, j + 1, 0)
         start_copy(jax.lax.rem(step + 1, 2), nxt_i, nxt_j)
 
     pltpu.make_async_copy(
@@ -102,31 +120,101 @@ def _stencil_kernel(
     ).wait()
 
     c = out_ref.shape[-2]
-    base = j * block  # plane row base (backward planes are whole-frame)
     acc = jnp.zeros((block, c, w), jnp.float32)
     for sy in range(-ry, ry + 2):
-        dy = (ry + 1 - sy) if backward else (sy + ry)
-        if backward:
-            ty_s = ty_ref[0, pl.ds(base + dy, block), :]
-            oy_s = oyf_ref[0, pl.ds(base + dy, block), :]
-        else:
-            ty_s = ty_ref[0]
-            oy_s = oyf_ref[0]
+        dy = sy + ry
+        ty_s = ty_ref[0]
+        oy_s = oyf_ref[0]
         wy_full = (1.0 - ty_s) * _hit(oy_s - sy) + ty_s * _hit(oy_s - sy + 1.0)
         for sx in range(-rx, rx + 2):
-            dx = (rx + 1 - sx) if backward else (sx + rx)
-            if backward:
-                tx_s = tx_ref[0, pl.ds(base + dy, block), pl.ds(dx, w)]
-                ox_s = oxf_ref[0, pl.ds(base + dy, block), pl.ds(dx, w)]
-                wyx = wy_full[:, dx : dx + w]
-            else:
-                tx_s = tx_ref[0]
-                ox_s = oxf_ref[0]
-                wyx = wy_full
+            dx = sx + rx
+            tx_s = tx_ref[0]
+            ox_s = oxf_ref[0]
             wx = (1.0 - tx_s) * _hit(ox_s - sx) + tx_s * _hit(ox_s - sx + 1.0)
             # (block, w) -> (block, 1, w): a mid-dim unit insertion is a
             # layout no-op (lanes stay w); the multiply then broadcasts
             # along sublanes (channels) natively.
+            wt = (wy_full * wx).reshape(block, 1, w)
+            tap = f_vmem[slot, pl.ds(dy, block), :, pl.ds(dx, w)]
+            acc = acc + wt * tap.astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _stencil_bwd_kernel(
+    block,
+    ry,
+    rx,
+    w,
+    wp,
+    p_hbm,
+    f_hbm,
+    out_ref,
+    f_vmem,
+    p_vmem,
+    sem,
+):
+    """Transposed stencil: parameters are whole PADDED planes, row-windowed
+    by DMA alongside the cotangent, and sliced at each tap's offset.
+
+    Plane k of [tx, ty, oxf, oyf] lives at lanes [k*wp, (k+1)*wp) of p_hbm,
+    so every slice below has a static offset. p_hbm carries a unit dim ahead
+    of the lanes so its row dim is untiled (Mosaic only allows unaligned
+    window slices on untiled dims — same reason f_hbm is 4-D).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    window_rows = block + 2 * ry + 1
+    slot, step, nxt_i, nxt_j = _feature_dma(block, window_rows, f_hbm, f_vmem, sem)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    def start_copy(s, ii, jj):
+        pltpu.make_async_copy(
+            f_hbm.at[ii, pl.ds(jj * block, window_rows)],
+            f_vmem.at[s],
+            sem.at[s, 0],
+        ).start()
+        pltpu.make_async_copy(
+            p_hbm.at[ii, pl.ds(jj * block, window_rows)],
+            p_vmem.at[s],
+            sem.at[s, 1],
+        ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_copy(0, i, j)
+
+    @pl.when(step + 1 < pl.num_programs(0) * nj)
+    def _():
+        start_copy(jax.lax.rem(step + 1, 2), nxt_i, nxt_j)
+
+    pltpu.make_async_copy(
+        f_hbm.at[i, pl.ds(j * block, window_rows)],
+        f_vmem.at[slot],
+        sem.at[slot, 0],
+    ).wait()
+    pltpu.make_async_copy(
+        p_hbm.at[i, pl.ds(j * block, window_rows)],
+        p_vmem.at[slot],
+        sem.at[slot, 1],
+    ).wait()
+
+    c = out_ref.shape[-2]
+    acc = jnp.zeros((block, c, w), jnp.float32)
+    for sy in range(-ry, ry + 2):
+        dy = ry + 1 - sy
+        rows = pl.ds(dy, block)
+        ty_s = p_vmem[slot, rows, 0, pl.ds(wp, wp)]
+        oy_s = p_vmem[slot, rows, 0, pl.ds(3 * wp, wp)]
+        wy_full = (1.0 - ty_s) * _hit(oy_s - sy) + ty_s * _hit(oy_s - sy + 1.0)
+        for sx in range(-rx, rx + 2):
+            dx = rx + 1 - sx
+            tx_s = p_vmem[slot, rows, 0, pl.ds(dx, w)]
+            ox_s = p_vmem[slot, rows, 0, pl.ds(2 * wp + dx, w)]
+            wyx = wy_full[:, dx : dx + w]
+            wx = (1.0 - tx_s) * _hit(ox_s - sx) + tx_s * _hit(ox_s - sx + 1.0)
             wt = (wyx * wx).reshape(block, 1, w)
             tap = f_vmem[slot, pl.ds(dy, block), :, pl.ds(dx, w)]
             acc = acc + wt * tap.astype(jnp.float32)
@@ -140,7 +228,7 @@ def _pick_block(h: int) -> int:
     return 1
 
 
-def _run_stencil(fpad, tx, ty, oxf, oyf, ry, rx, h, w, c, dtype, backward):
+def _run_stencil_fwd(fpad, tx, ty, oxf, oyf, ry, rx, h, w, c, dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -148,14 +236,9 @@ def _run_stencil(fpad, tx, ty, oxf, oyf, ry, rx, h, w, c, dtype, backward):
     block = _pick_block(h)
     window_rows = block + 2 * ry + 1
     wp = fpad.shape[-1]
+    plane_spec = pl.BlockSpec((1, block, w), lambda i, j: (i, j, 0))
 
-    if backward:
-        hp = h + 2 * ry + 1
-        plane_spec = pl.BlockSpec((1, hp, wp), lambda i, j: (i, 0, 0))
-    else:
-        plane_spec = pl.BlockSpec((1, block, w), lambda i, j: (i, j, 0))
-
-    kernel = functools.partial(_stencil_kernel, block, ry, rx, w, backward)
+    kernel = functools.partial(_stencil_fwd_kernel, block, ry, rx, w)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, c, w), dtype),
@@ -176,6 +259,36 @@ def _run_stencil(fpad, tx, ty, oxf, oyf, ry, rx, h, w, c, dtype, backward):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(tx, ty, oxf, oyf, fpad)
+
+
+def _run_stencil_bwd(gpad, planes, ry, rx, h, w, c, wp, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = gpad.shape[0]
+    block = _pick_block(h)
+    window_rows = block + 2 * ry + 1
+    gw = gpad.shape[-1]
+
+    kernel = functools.partial(_stencil_bwd_kernel, block, ry, rx, w, wp)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, c, w), dtype),
+        grid=(n, h // block),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, block, c, w), lambda i, j: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window_rows, c, gw), dtype),
+            pltpu.VMEM((2, window_rows, 1, 4 * wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(planes, gpad)
 
 
 def _sample_params(grid, h, w):
@@ -233,9 +346,9 @@ def _forward(input_nhwc, grid, ry, rx):
         fhcw,
         ((0, 0), (ry, ry + 1), (0, (-c) % 8), (rx, rx + 1 + extra)),
     )
-    out = _run_stencil(
+    out = _run_stencil_fwd(
         fpad, tx, ty, oxf, oyf, ry, rx, h, w, fpad.shape[2],
-        input_nhwc.dtype, False,
+        input_nhwc.dtype,
     )
     return jnp.transpose(out[:, :, :c], (0, 1, 3, 2))
 
@@ -255,20 +368,21 @@ def _bwd(ry, rx, residuals, g):
         return _shifts_bwd(ry, rx, (grid, token), g)
     c = g.shape[-1]
     tx, ty, oxf, oyf = _sample_params(grid, h, w)
+    # Padded plane width: one full 128-lane-aligned tile span per plane so
+    # the lane-concat below keeps each plane's base offset 128-aligned.
     wp = w + 2 * rx + 1
-    extra = (-wp) % 128
-    pad2 = ((0, 0), (ry + 1, ry), (rx + 1, rx + extra))
+    wp += (-wp) % 128
+    pad2 = ((0, 0), (ry + 1, ry), (rx + 1, wp - w - 2 * rx - 1 + rx))
     ghcw = jnp.transpose(g.astype(dtype), (0, 1, 3, 2))
     gp = jnp.pad(
         ghcw,
-        ((0, 0), (ry + 1, ry), (0, (-c) % 8), (rx + 1, rx + extra)),
+        ((0, 0), (ry + 1, ry), (0, (-c) % 8), (rx + 1, wp - w - rx - 1)),
     )
-    txp = jnp.pad(tx, pad2)
-    typ = jnp.pad(ty, pad2)
-    oxp = jnp.pad(oxf, pad2)
-    oyp = jnp.pad(oyf, pad2)
-    d_in = _run_stencil(
-        gp, txp, typ, oxp, oyp, ry, rx, h, w, gp.shape[2], dtype, True
+    planes = jnp.concatenate(
+        [jnp.pad(p, pad2) for p in (tx, ty, oxf, oyf)], axis=-1
+    )[:, :, None, :]
+    d_in = _run_stencil_bwd(
+        gp, planes, ry, rx, h, w, gp.shape[2], wp, dtype
     )
     return jnp.transpose(d_in[:, :, :c], (0, 1, 3, 2)), jnp.zeros_like(grid)
 
