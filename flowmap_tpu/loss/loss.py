@@ -89,9 +89,21 @@ def loss_tracking(
     numerically identical, much cheaper to compile and run)."""
     h, w = image_shape
     if isinstance(tracks, TracksPacked):
-        loss_sum, valid_sum = _track_loss_packed_fused(
-            cfg, tracks, model_output, image_shape
-        )
+        if _use_track_kernel(cfg, model_output, image_shape):
+            from ..ops.pallas.track_loss import track_loss_pallas
+
+            loss_sum, valid_sum = track_loss_pallas(
+                model_output.surfaces,
+                model_output.extrinsics,
+                model_output.intrinsics,
+                tracks,
+                image_shape,
+                cfg.mapping.delta,
+            )
+        else:
+            loss_sum, valid_sum = _track_loss_packed_fused(
+                cfg, tracks, model_output, image_shape
+            )
         return loss_sum / jnp.maximum(valid_sum, 1.0)
     loss_sum = jnp.zeros((), dtype=model_output.surfaces.dtype)
     valid_sum = jnp.zeros((), dtype=model_output.surfaces.dtype)
@@ -109,6 +121,22 @@ def loss_tracking(
         loss_sum = loss_sum + jnp.sum(mapped * visibility)
         valid_sum = valid_sum + jnp.sum(visibility)
     return loss_sum / jnp.maximum(valid_sum, 1.0)
+
+
+def _use_track_kernel(
+    cfg: LossTrackingCfg,
+    model_output: ModelOutput,
+    image_shape: tuple[int, int],
+) -> bool:
+    """The fused Pallas path covers the shipped configuration (TPU, huber
+    mapping, batch 1, model-resolution surfaces); anything else falls back to
+    the XLA formulation, which is fully general."""
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and cfg.mapping.name == "huber"
+        and model_output.surfaces.shape[0] == 1
+        and tuple(model_output.surfaces.shape[2:4]) == tuple(image_shape)
+    )
 
 
 def _track_loss_packed_fused(

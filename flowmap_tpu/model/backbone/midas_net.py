@@ -28,6 +28,7 @@ mode, so folding matches its inference behavior closely).
 
 from __future__ import annotations
 
+import functools
 from typing import Literal
 
 import jax
@@ -112,6 +113,7 @@ def _interp_matrix(size_out: int, size_in: int, align_corners: bool, dtype):
     return jnp.asarray(m, dtype=dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _upsample2x(x, align_corners: bool = True):
     """Bilinear x2 upsample, align_corners=True (torch Interpolate in MiDaS).
 
@@ -120,13 +122,32 @@ def _upsample2x(x, align_corners: bool = True):
     TPU-hostile scatter-add, and a banded shifted-slice stencil (measured)
     loses to the matmul on layout grounds — XLA assigns the pad/stack chain
     batch-minor layouts and the fusions run far below HBM speed. A matmul's
-    transpose is a matmul.
+    transpose is a matmul — but it must be SPELLED as one: the custom VJP
+    below applies the transposed interp matrices in the same einsum form as
+    the forward, because XLA's automatic transpose of these dots materializes
+    a full transpose of the (n, 2h, 2w, c) cotangent (~6 ms/step at
+    reference scale on the head upsample alone).
     """
     n, h, w, c = x.shape
     ay = _interp_matrix(2 * h, h, align_corners, x.dtype)
     ax = _interp_matrix(2 * w, w, align_corners, x.dtype)
     x = jnp.einsum("Oh,nhwc->nOwc", ay, x)
     return jnp.einsum("Ow,nhwc->nhOc", ax, x)
+
+
+def _upsample2x_fwd(x, align_corners):
+    return _upsample2x(x, align_corners), x.shape[1:3]
+
+
+def _upsample2x_bwd(align_corners, hw, g):
+    h, w = hw
+    ayt = _interp_matrix(2 * h, h, align_corners, g.dtype).T  # (h, 2h)
+    axt = _interp_matrix(2 * w, w, align_corners, g.dtype).T  # (w, 2w)
+    g = jnp.einsum("Ow,nhwc->nhOc", axt, g)
+    return (jnp.einsum("Oh,nhwc->nOwc", ayt, g),)
+
+
+_upsample2x.defvjp(_upsample2x_fwd, _upsample2x_bwd)
 
 
 # ---------------------------------------------------------------------------
