@@ -56,6 +56,24 @@ def loss_flow(
     """Induced forward+backward flow vs observed flow, robustly mapped and
     masked by photometric-consistency weights (`loss_flow.py:31-70`)."""
     h, w = image_shape
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and cfg.mapping.name == "huber"
+        and model_output.surfaces.shape[0] == 1
+        and tuple(model_output.surfaces.shape[2:4]) == (h, w)
+        and h % 8 == 0
+    ):
+        from ..ops.pallas.flow_loss import flow_loss_pallas
+
+        loss_sum, valid_sum = flow_loss_pallas(
+            model_output.surfaces,
+            model_output.extrinsics,
+            model_output.intrinsics,
+            flows,
+            image_shape,
+            cfg.mapping.delta,
+        )
+        return loss_sum / jnp.maximum(valid_sum, 1.0)
     xy, _ = sample_image_grid((h, w), dtype=model_output.surfaces.dtype)
 
     xy_fwd = compute_forward_flow(

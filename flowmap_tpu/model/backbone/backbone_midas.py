@@ -63,6 +63,12 @@ class BackboneMidasCfg:
     # Horizontal displacement bound (pixels, feature resolution) for the
     # shift-window warp; sized from the flow like warp_radius.
     warp_radius_x: int = 16
+    # Exact half-resolution displacement bounds for the native-weights
+    # shift-stencil warp, measured on the 2x2-pooled flow by
+    # `_autosize_warp_radius` (tap count is quadratic in these). None falls
+    # back to the conservative derivation from warp_radius(_x).
+    warp_radius_half: Optional[int] = None
+    warp_radius_half_x: Optional[int] = None
     # Where the correspondence-weight MLP runs. The reference upsamples the
     # half-resolution decoder features x2, warps them by full-res flow, and
     # evaluates the MLP per full-res pixel (backbone_midas.py:57-64,75-127).
@@ -182,10 +188,15 @@ def apply_midas(
         xy, _ = sample_image_grid((hn, wn), dtype=jnp.float32)
         grid = (xy + fb_half) * 2.0 - 1.0  # (b, f-1, hn, wn, 2)
         flat_grid = grid.reshape(b * (f - 1), hn, wn, 2)
-        # Vertical excursions shrink by the downsample factor; +1 margin
-        # for the box filter.
-        radius = max(2, (cfg.warp_radius + 1) // 2 + 1)
-        radius_x = max(2, (cfg.warp_radius_x + 1) // 2 + 1)
+        # Vertical excursions shrink by the downsample factor. Prefer the
+        # exact pooled-flow bounds when the autosizer measured them; the
+        # fallback derivation keeps a +1 safety margin.
+        if cfg.warp_radius_half is not None:
+            radius = max(1, cfg.warp_radius_half)
+            radius_x = max(1, cfg.warp_radius_half_x or radius)
+        else:
+            radius = max(2, (cfg.warp_radius + 1) // 2 + 1)
+            radius_x = max(2, (cfg.warp_radius_x + 1) // 2 + 1)
         # Shift-window stencil warp whenever the tap window is small: all
         # NHWC, all elementwise — no Pallas dispatch, no layout churn.
         use_shifts = (

@@ -527,10 +527,28 @@ def _autosize_warp_radius(model_cfg: ModelCfg, flows: Flows, height: int) -> Mod
     width = flows.backward.shape[-2]
     radius = radius_for_flows(np.asarray(flows.backward[..., 1]), height_)
     radius_x = radius_for_flows(np.asarray(flows.backward[..., 0]), width)
+    # Exact bounds for the half-resolution shift-stencil warp: measure the
+    # 2x2-pooled flow the native-weights path actually warps with (pooling
+    # matches backbone_midas.py; tap count is quadratic in these radii).
+    half = {}
+    if height_ % 2 == 0 and width % 2 == 0:
+        fb = np.asarray(flows.backward)
+        b, p, _, _, _ = fb.shape
+        fb_half = fb.reshape(b, p, height_ // 2, 2, width // 2, 2, 2).mean(
+            axis=(3, 5)
+        )
+        half = dict(
+            warp_radius_half=radius_for_flows(
+                fb_half[..., 1], height_ // 2, margin=0
+            ),
+            warp_radius_half_x=radius_for_flows(
+                fb_half[..., 0], width // 2, margin=0
+            ),
+        )
     return dataclasses.replace(
         model_cfg,
         backbone=dataclasses.replace(
-            backbone, warp_radius=radius, warp_radius_x=radius_x
+            backbone, warp_radius=radius, warp_radius_x=radius_x, **half
         ),
     )
 
