@@ -13,7 +13,15 @@ loads (`flowmap/model/backbone/backbone_midas.py:50-56`):
   its correspondence-weight MLP after splitting off `scratch.output_conv`.
 - Head ("output_conv"): 3x3 conv 64->32, x2 upsample, 3x3 conv 32->32, ReLU,
   1x1 conv 32->1, ReLU. The "exp" depth mapping drops the last conv's
-  trailing non-negativity (reference: `backbone_midas.py:70-71`).
+  trailing non-negativity (reference: `backbone_midas.py:70-71`). NB the
+  head's x2 upsample is align_corners=FALSE (upstream MiDaS `blocks.py`
+  `Interpolate` defaults align_corners=False and `midas_net_custom.py`'s
+  output_conv does not override it), unlike the FeatureFusion upsamples
+  which pass align_corners=True explicitly. That makes the upsample
+  parity-periodic, so upsample+conv2 collapse EXACTLY into four 3x3 parity
+  convs at half resolution (`_head_up2_conv`) — the full-resolution
+  32-channel tensor never exists, which at reference scale saves ~17 ms of
+  HBM traffic per optimization step versus the materialized composition.
 
 Layout is NHWC internally (TPU-native conv layout); the public API takes and
 returns NCHW to match the rest of the framework. Parameters live in a plain
@@ -148,6 +156,97 @@ def _upsample2x_bwd(align_corners, hw, g):
 
 
 _upsample2x.defvjp(_upsample2x_fwd, _upsample2x_bwd)
+
+
+# Parity composition of (3x3 conv) ∘ (x2 bilinear upsample, align_corners=
+# False). Output row 2m+p depends on input rows m-1..m+1 through weights
+# that mix the upsample taps (0.25/0.75, parity-periodic for scale 2) with
+# the conv taps: K_p[dm] = sum_dy B[p, dm, dy] * w[dy]. Rows of B: dm in
+# (-1, 0, 1); columns: the conv kernel tap dy in (0, 1, 2).
+_UP2_B = jnp.asarray(
+    [
+        [[0.75, 0.25, 0.0], [0.25, 0.75, 0.75], [0.0, 0.0, 0.25]],
+        [[0.25, 0.0, 0.0], [0.75, 0.75, 0.25], [0.0, 0.25, 0.75]],
+    ],
+    jnp.float32,
+)
+
+
+def _head_up2_conv_proj(z, conv2, w3, b3):
+    """relu(conv2(upsample2x_ac_false(z))) @ w3 + b3, without materializing
+    the full-resolution conv2 activation.
+
+    z: (n, h, w, cin); conv2: 3x3 params (cin -> cout); w3: (cout,); b3
+    scalar. Returns (n, 2h, 2w) — the MiDaS head tail after conv1.
+
+    Interior outputs come from four parity convs at half resolution (one
+    conv with 4*cout output channels; replicate padding of z reproduces the
+    upsample's border clamp exactly). The four border rows/columns see
+    conv2's zero padding instead of a phantom upsample tap, so they are
+    recomputed exactly from thin upsampled bands and spliced in AFTER the
+    pointwise relu/projection — only (n, 2h, 2w) scalars are ever at full
+    resolution.
+    """
+    n, h, w, cin = z.shape
+    w2 = conv2["kernel"].astype(jnp.float32)  # (3, 3, cin, cout)
+    cout = w2.shape[-1]
+    b2 = conv2["bias"]
+
+    def tail(y):
+        # y: (..., cout) pre-bias conv2 output -> (...) projected scalar.
+        y = jax.nn.relu(y + b2.astype(y.dtype))
+        return jnp.einsum("...c,c->...", y.astype(w3.dtype), w3) + b3
+
+    # Interior: parity-composed kernel, one VALID conv on replicate-padded z.
+    k = jnp.einsum("pad,qbe,deio->abipqo", _UP2_B, _UP2_B, w2)
+    k = k.reshape(3, 3, cin, 4 * cout).astype(z.dtype)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    phases = jax.lax.conv_general_dilated(
+        zp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y_main = tail(phases.reshape(n, h, w, 2, 2, cout))
+    y_main = y_main.transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, 2 * w)
+
+    w2c = w2.astype(z.dtype)
+
+    def strip(band, pad_h, pad_w):
+        y = jax.lax.conv_general_dilated(
+            band, w2c, (1, 1), (pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return tail(y)
+
+    # Border bands: the two upsample rows (columns) adjacent to each edge,
+    # exact in the cross direction via the interp matrix (clamp included).
+    ax = _interp_matrix(2 * w, w, False, z.dtype)
+    ay = _interp_matrix(2 * h, h, False, z.dtype)
+    third = jnp.asarray(0.75, z.dtype), jnp.asarray(0.25, z.dtype)
+
+    band_t = jnp.concatenate(
+        [z[:, 0:1], third[0] * z[:, 0:1] + third[1] * z[:, 1:2]], axis=1
+    )
+    band_t = jnp.einsum("Ow,nrwc->nrOc", ax, band_t)
+    y_top = strip(band_t, (1, 0), (1, 1))  # (n, 1, 2w)
+    band_b = jnp.concatenate(
+        [third[1] * z[:, -2:-1] + third[0] * z[:, -1:], z[:, -1:]], axis=1
+    )
+    band_b = jnp.einsum("Ow,nrwc->nrOc", ax, band_b)
+    y_bot = strip(band_b, (0, 1), (1, 1))
+    band_l = jnp.concatenate(
+        [z[:, :, 0:1], third[0] * z[:, :, 0:1] + third[1] * z[:, :, 1:2]],
+        axis=2,
+    )
+    band_l = jnp.einsum("Oh,nhrc->nOrc", ay, band_l)
+    y_left = strip(band_l, (1, 1), (1, 0))  # (n, 2h, 1)
+    band_r = jnp.concatenate(
+        [third[1] * z[:, :, -2:-1] + third[0] * z[:, :, -1:], z[:, :, -1:]],
+        axis=2,
+    )
+    band_r = jnp.einsum("Oh,nhrc->nOrc", ay, band_r)
+    y_right = strip(band_r, (1, 1), (0, 1))
+
+    y = jnp.concatenate([y_top, y_main[:, 1:-1], y_bot], axis=1)
+    return jnp.concatenate([y_left, y[:, :, 1:-1], y_right], axis=2)
 
 
 # ---------------------------------------------------------------------------
@@ -324,14 +423,17 @@ class MidasSmall:
         path1 = _fusion(params["refinenet1"], path2, l1)  # (n, h/2, w/2, 64)
 
         h = params["head"]
-        y = _conv(h["conv1"], path1)
-        y = _upsample2x(y, align_corners=True)
-        y = jax.nn.relu(_conv(h["conv2"], y))
-        y = _conv(h["conv3"], y)
+        z = _conv(h["conv1"], path1)
+        y = _head_up2_conv_proj(
+            z,
+            h["conv2"],
+            h["conv3"]["kernel"][0, 0, :, 0],
+            h["conv3"]["bias"][0],
+        )
         if mapping == "original":
             # Final non-negativity ReLU (dropped for the "exp" mapping,
             # reference backbone_midas.py:70-71).
             y = jax.nn.relu(y)
 
         features = jnp.transpose(path1, (0, 3, 1, 2))  # NCHW
-        return y[..., 0], features
+        return y, features

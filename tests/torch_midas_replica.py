@@ -174,7 +174,10 @@ class Scratch(nn.Module):
         self.refinenet1 = FeatureFusionBlock(64, 64)
         self.output_conv = nn.Sequential(
             nn.Conv2d(64, 32, 3, padding=1),
-            nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True),
+            # Upstream MiDaS `blocks.py` Interpolate defaults
+            # align_corners=False and output_conv does not override it (the
+            # FeatureFusion upsamples pass True explicitly).
+            nn.Upsample(scale_factor=2, mode="bilinear", align_corners=False),
             nn.Conv2d(32, 32, 3, padding=1),
             nn.ReLU(False),
             nn.Conv2d(32, 1, 1),
