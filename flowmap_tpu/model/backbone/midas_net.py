@@ -19,7 +19,7 @@ loads (`flowmap/model/backbone/backbone_midas.py:50-56`):
   output_conv does not override it), unlike the FeatureFusion upsamples
   which pass align_corners=True explicitly. That makes the upsample
   parity-periodic, so upsample+conv2 collapse EXACTLY into four 3x3 parity
-  convs at half resolution (`_head_up2_conv`) — the full-resolution
+  convs at half resolution (`_head_up2_conv_proj`) — the full-resolution
   32-channel tensor never exists, which at reference scale saves ~17 ms of
   HBM traffic per optimization step versus the materialized composition.
 
@@ -41,6 +41,7 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from jaxtyping import Array, Float
 
 # ---------------------------------------------------------------------------
@@ -163,12 +164,16 @@ _upsample2x.defvjp(_upsample2x_fwd, _upsample2x_bwd)
 # that mix the upsample taps (0.25/0.75, parity-periodic for scale 2) with
 # the conv taps: K_p[dm] = sum_dy B[p, dm, dy] * w[dy]. Rows of B: dm in
 # (-1, 0, 1); columns: the conv kernel tap dy in (0, 1, 2).
-_UP2_B = jnp.asarray(
+# NumPy (not jnp) on purpose: a module-level jnp constant initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize() in the
+# multi-process CLIs (it must run before any backend is created). It is only
+# consumed inside traced einsums, where NumPy operands are fine.
+_UP2_B = _np.asarray(
     [
         [[0.75, 0.25, 0.0], [0.25, 0.75, 0.75], [0.0, 0.0, 0.25]],
         [[0.25, 0.0, 0.0], [0.75, 0.75, 0.25], [0.0, 0.25, 0.75]],
     ],
-    jnp.float32,
+    _np.float32,
 )
 
 
@@ -186,8 +191,12 @@ def _head_up2_conv_proj(z, conv2, w3, b3):
     recomputed exactly from thin upsampled bands and spliced in AFTER the
     pointwise relu/projection — only (n, 2h, 2w) scalars are ever at full
     resolution.
+
+    Requires h >= 2 and w >= 2 (the border bands index z[:, 1:2] and
+    z[:, -2:-1]); real MiDaS inputs are far above that.
     """
     n, h, w, cin = z.shape
+    assert h >= 2 and w >= 2, "head parity composition needs h, w >= 2"
     w2 = conv2["kernel"].astype(jnp.float32)  # (3, 3, cin, cout)
     cout = w2.shape[-1]
     b2 = conv2["bias"]

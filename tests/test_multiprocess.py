@@ -50,6 +50,29 @@ Path(sys.argv[1]).write_text(json.dumps({
 """
 
 
+def test_import_does_not_initialize_backend():
+    """`jax.distributed.initialize()` must run before any XLA backend exists,
+    so importing the entry points must not create one. (Round-3 regression:
+    a module-level `jnp.asarray` constant in midas_net.py initialized the
+    backend at import, killing multi-process launch.)"""
+    check = (
+        "import flowmap_tpu.pretrain, flowmap_tpu.overfit, flowmap_tpu.subsample\n"
+        "import flowmap_tpu.config, flowmap_tpu.training.overfit\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, f'XLA backend initialized at import: {list(xb._backends)}'\n"
+    )
+    env = dict(os.environ)
+    env.update(PYTHONPATH=str(Path(__file__).parent.parent), JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", check],
+        env=env,
+        cwd=Path(__file__).parent.parent,
+        capture_output=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+
+
 def test_two_process_distributed_group(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
