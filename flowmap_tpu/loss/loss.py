@@ -56,8 +56,10 @@ def loss_flow(
     """Induced forward+backward flow vs observed flow, robustly mapped and
     masked by photometric-consistency weights (`loss_flow.py:31-70`)."""
     h, w = image_shape
+    from ..ops.pallas.runtime import kernels_enabled
+
     if (
-        jax.default_backend() in ("tpu", "axon")
+        kernels_enabled()
         and cfg.mapping.name == "huber"
         and model_output.surfaces.shape[0] == 1
         and tuple(model_output.surfaces.shape[2:4]) == (h, w)
@@ -149,8 +151,10 @@ def _use_track_kernel(
     """The fused Pallas path covers the shipped configuration (TPU, huber
     mapping, batch 1, model-resolution surfaces); anything else falls back to
     the XLA formulation, which is fully general."""
+    from ..ops.pallas.runtime import kernels_enabled
+
     return (
-        jax.default_backend() in ("tpu", "axon")
+        kernels_enabled()
         and cfg.mapping.name == "huber"
         and model_output.surfaces.shape[0] == 1
         and tuple(model_output.surfaces.shape[2:4]) == tuple(image_shape)

@@ -56,6 +56,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from . import runtime as _rt
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -464,7 +465,7 @@ def _run_forward(packed, x0, tx, y0, ty, mlp, radius, hf, wf, padx):
     def full(shape):
         return pl.BlockSpec(shape, lambda i, j, s=len(shape): (0,) * s)
 
-    out = pl.pallas_call(
+    out = _rt.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, hf, wf), jnp.float32),
         grid=grid,
@@ -940,7 +941,7 @@ def _run_backward(packed, x0, tx, y0, ty, mlp, g, radius, hf, wf, padx):
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     win_spec = pl.BlockSpec((1, 1, ylen, wf), lambda i, j: (i, j, 0, 0))
-    dfe, dfl, dW = pl.pallas_call(
+    dfe, dfl, dW = _rt.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((n, 128, hp * _C), dtype),
@@ -1007,7 +1008,7 @@ def _run_backward(packed, x0, tx, y0, ty, mlp, g, radius, hf, wf, padx):
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    return _rt.kernels_enabled()
 
 
 def _unpack_dw(dW_sum, mlp):

@@ -21,6 +21,7 @@ exceed the VMEM budget.
 from __future__ import annotations
 
 import jax
+from . import runtime as _rt
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -61,7 +62,7 @@ def _pallas_call(f0, f1, grid, block_q):
     num_blocks = length // block_q
 
     def run_single(f0_b, f1_b):
-        return pl.pallas_call(
+        return _rt.pallas_call(
             _kernel,
             out_shape=jax.ShapeDtypeStruct((length, 2), jnp.float32),
             grid=(num_blocks,),
@@ -85,7 +86,7 @@ def global_correlation_expectation(
     b, length, c = f0.shape
 
     vmem_needed = 4 * (length * c + _BLOCK_Q * length + length * 2 + _BLOCK_Q * c)
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = _rt.kernels_enabled()
     if not on_tpu or length % _BLOCK_Q != 0 or vmem_needed > _VMEM_LIMIT_BYTES:
         # Fall back to a query-chunked jnp formulation (still avoids the full
         # (l, l) volume when chunking applies).

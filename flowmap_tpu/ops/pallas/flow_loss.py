@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from . import runtime as _rt
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -134,7 +135,7 @@ def _core_fwd(static, xyz_arr, m_arr, gt, mask):
     block, wp, in_specs = _block_specs(static, pl)
     nb = h // block
     kernel = functools.partial(_fwd_kernel, sx, sy, delta)
-    out = pl.pallas_call(
+    out = _rt.pallas_call(
         kernel,
         grid=(n, nb),
         in_specs=in_specs,
@@ -158,7 +159,7 @@ def _core_bwd(static, residuals, g):
     block, wp, in_specs = _block_specs(static, pl)
     nb = h // block
     kernel = functools.partial(_bwd_kernel, sx, sy, delta)
-    d_xyz, d_m = pl.pallas_call(
+    d_xyz, d_m = _rt.pallas_call(
         kernel,
         grid=(n, nb),
         in_specs=in_specs,

@@ -41,6 +41,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from . import runtime as _rt
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -239,7 +240,7 @@ def _run_stencil_fwd(fpad, tx, ty, oxf, oyf, ry, rx, h, w, c, dtype):
     plane_spec = pl.BlockSpec((1, block, w), lambda i, j: (i, j, 0))
 
     kernel = functools.partial(_stencil_fwd_kernel, block, ry, rx, w)
-    return pl.pallas_call(
+    return _rt.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, c, w), dtype),
         grid=(n, h // block),
@@ -271,7 +272,7 @@ def _run_stencil_bwd(gpad, planes, ry, rx, h, w, c, wp, dtype):
     gw = gpad.shape[-1]
 
     kernel = functools.partial(_stencil_bwd_kernel, block, ry, rx, w, wp)
-    return pl.pallas_call(
+    return _rt.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, c, w), dtype),
         grid=(n, h // block),
@@ -310,7 +311,7 @@ def _sample_params(grid, h, w):
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    return _rt.kernels_enabled()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

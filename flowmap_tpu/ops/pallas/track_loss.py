@@ -37,6 +37,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from . import runtime as _rt
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -260,7 +261,7 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    return _rt.kernels_enabled()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -289,7 +290,7 @@ def _run_sample_fwd(static, s_arr, aux):
         out_specs=pl.BlockSpec((1, 8, pp), lambda i, sfr: (i, 0, 0)),
     )
     kernel = functools.partial(_sample_fwd_kernel, h, w, rpc)
-    return pl.pallas_call(
+    return _rt.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pairs, 8, pp), jnp.float32),
@@ -319,7 +320,7 @@ def _run_sample_bwd(static, s_dtype, d_xyz, aux):
         out_specs=pl.BlockSpec((1, 3 * rpc, wp), lambda i, sfr: (sfr[i], 0, 0)),
     )
     kernel = functools.partial(_sample_bwd_kernel, h, w, rpc)
-    d_s = pl.pallas_call(
+    d_s = _rt.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((f, 3 * rpc, wp), jnp.float32),
@@ -354,7 +355,7 @@ def _run_pair_loss_fwd(static, xyz, m_pad, aux):
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j, inv: (i, j, 0, 0)),
     )
     kernel = functools.partial(_pair_loss_fwd_kernel, l_pad, sx, sy, delta)
-    out = pl.pallas_call(
+    out = _rt.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, l, 8, 128), jnp.float32),
@@ -391,7 +392,7 @@ def _run_pair_loss_bwd(static, xyz, m_pad, aux):
         ],
     )
     kernel = functools.partial(_pair_loss_bwd_kernel, l_pad, sx, sy, delta)
-    d_xyz, d_m = pl.pallas_call(
+    d_xyz, d_m = _rt.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[

@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from . import runtime as _rt
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -286,7 +287,7 @@ def _run_forward(features_nhwc, x0, tx, y0, ty, radius):
     )
 
     kernel = functools.partial(_forward_kernel, block, radius, c)
-    out = pl.pallas_call(
+    out = _rt.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, wg, c), features_nhwc.dtype),
         grid=(n, h // block),
@@ -330,7 +331,7 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
     ty_pad = jnp.pad(ty, pad_rows)
 
     kernel = functools.partial(_grad_kernel, block, radius, wg)
-    df = pl.pallas_call(
+    df = _rt.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dtype),
         grid=(n, h // block),
@@ -353,7 +354,7 @@ def _run_grad(g_nhwc, x0, tx, y0, ty, radius, h, w, c_in, dtype):
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    return _rt.kernels_enabled()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -63,6 +63,96 @@ def _composite(
     return image * (1 - alpha) + color * alpha
 
 
+# ---------------------------------------------------------------------------
+# Adaptive-MSAA color-function renderer (`drawing/rendering.py:76-143`)
+# ---------------------------------------------------------------------------
+
+
+def _detect_edge_pixels(rgba: np.ndarray) -> np.ndarray:
+    """Batched: pixels whose color differs from any 8-neighbor
+    (rendering.py:29-55). rgba: (b, h, w, 4) -> mask (b, h, w)."""
+    b, h, w, _ = rgba.shape
+    mask = np.zeros((b, h, w), bool)
+    horizontal = (rgba[:, :, 1:] != rgba[:, :, :-1]).any(axis=-1)
+    mask[:, :, 1:] |= horizontal
+    mask[:, :, :-1] |= horizontal
+    vertical = (rgba[:, 1:] != rgba[:, :-1]).any(axis=-1)
+    mask[:, 1:] |= vertical
+    mask[:, :-1] |= vertical
+    tlbr = (rgba[:, 1:, 1:] != rgba[:, :-1, :-1]).any(axis=-1)
+    mask[:, 1:, 1:] |= tlbr
+    mask[:, :-1, :-1] |= tlbr
+    trbl = (rgba[:, :-1, 1:] != rgba[:, 1:, :-1]).any(axis=-1)
+    mask[:, :-1, 1:] |= trbl
+    mask[:, 1:, :-1] |= trbl
+    return mask
+
+
+def _msaa_pass(xy, color_function, scale, subdivision, remaining):
+    """xy: (b, h, w, 2) sample locations -> (b, h, w, 4) straight-alpha RGBA
+    (the reference's `run_msaa_pass` recursion, rendering.py:76-115)."""
+    b, h, w, _ = xy.shape
+    rgba = np.asarray(
+        color_function(xy.reshape(-1, 2)), np.float32
+    ).reshape(b, h, w, 4)
+    if remaining <= 0:
+        return rgba
+    mask = _detect_edge_pixels(rgba)
+    if not mask.any():
+        return rgba
+    sub = (np.stack(
+        np.meshgrid(
+            np.arange(subdivision, dtype=np.float32) + 0.5,
+            np.arange(subdivision, dtype=np.float32) + 0.5,
+            indexing="xy",
+        ),
+        axis=-1,
+    ) / subdivision - 0.5) * scale
+    fine_xy = xy[mask][:, None, None, :] + sub[None]  # (k, s, s, 2)
+    fine = _msaa_pass(
+        fine_xy, color_function, scale / subdivision, subdivision, remaining - 1
+    )  # (k, s, s, 4)
+    color, alpha = fine[..., :3], fine[..., 3:]
+    merged_color = (color * alpha).sum(axis=(1, 2)) / (
+        alpha.sum(axis=(1, 2)) + 1e-10
+    )
+    merged_alpha = alpha.mean(axis=(1, 2))
+    rgba[mask] = np.concatenate([merged_color, merged_alpha], axis=-1)
+    return rgba
+
+
+def render(
+    shape: tuple[int, int],
+    color_function,
+    subdivision: int = 8,
+    num_passes: int = 2,
+) -> np.ndarray:
+    """Adaptive-MSAA render of an RGBA color function to an (h, w, 4)
+    straight-alpha canvas (rendering.py:118-133). Pass 0 samples pixel
+    centers; each further pass re-samples only edge pixels on a
+    `subdivision`^2 sub-grid and merges with alpha weighting."""
+    h, w = shape
+    xs = np.arange(w, dtype=np.float32) + 0.5
+    ys = np.arange(h, dtype=np.float32) + 0.5
+    xy = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1)[None]
+    return _msaa_pass(xy, color_function, 1.0, subdivision, num_passes)[0]
+
+
+def render_over_image(
+    image: np.ndarray,  # (3, h, w)
+    color_function,
+    subdivision: int = 8,
+    num_passes: int = 1,
+) -> np.ndarray:
+    """Composite an adaptively-antialiased color function over an image
+    (rendering.py:146-167, straight alpha)."""
+    _, h, w = image.shape
+    overlay = render((h, w), color_function, subdivision, num_passes)
+    color = overlay[..., :3].transpose(2, 0, 1)
+    alpha = overlay[..., 3][None]
+    return image * (1 - alpha) + color * alpha
+
+
 def draw_points(
     image: np.ndarray,  # (3, h, w)
     points,
