@@ -8,6 +8,18 @@ center-cropped to the patch size), MiDaS-small backbone, softmin intrinsics
 flow + tracking losses with the reference's track-segment structure
 (every 5 frames, ±20-frame windows, 35x35 query grids).
 
+BatchNorm mode: the reference's default initializes MiDaS from the pretrained
+checkpoint, and this framework's checkpoint conversion folds BN into the
+convs (utils/torch_convert.py; the encoder is effectively frozen at lr 3e-5,
+so train-mode batch statistics match inference statistics closely — README
+parity caveats). The benchmark therefore measures the `bn="folded"` graph —
+the exact compute graph the shipped pretrained configuration runs. Weight
+VALUES are random (checkpoints unreachable in this zero-egress image; speed
+is weight-independent) and the depth mapping is "exp" so random-init depths
+stay in a sane range. Training from scratch
+(`ablation_random_initialization`) uses batch statistics and runs ~10%
+slower.
+
 Metric: full optimization steps/second, steady state, on one chip. The
 baseline is the PyTorch reference on one A100: ~2000 Adam steps in ~4 minutes
 per scene ("minutes per scene", FlowMap paper §benchmarks; the repo itself
@@ -72,7 +84,8 @@ def main() -> None:
     )
 
     model_cfg = ModelCfg(
-        backbone=BackboneMidasCfg(pretrained=False, mapping="exp"),
+        # bn="folded" = the shipped pretrained-path graph (see docstring).
+        backbone=BackboneMidasCfg(pretrained=False, mapping="exp", bn="folded"),
         intrinsics=IntrinsicsSoftminCfg(
             regression=RegressionCfg(after_step=1000, window=100)
         ),
@@ -87,9 +100,14 @@ def main() -> None:
     state, optimizer = init_train_state(
         model_cfg, trainer_cfg, NUM_FRAMES, IMAGE_SHAPE
     )
-    # The same monolithic single-jit step the shipped CLI runs.
+    # The same monolithic single-jit step the shipped CLI runs: identical
+    # factory call to `run_overfit` (training/overfit.py), same staged_vjp
+    # default from OverfitTrainerCfg.
     step = jax.jit(
-        make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0)),
+        make_train_step(
+            model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0),
+            staged_vjp=trainer_cfg.staged_vjp,
+        ),
         donate_argnums=(0,),
     )
 

@@ -69,6 +69,13 @@ class BackboneMidasCfg:
     # back to the conservative derivation from warp_radius(_x).
     warp_radius_half: Optional[int] = None
     warp_radius_half_x: Optional[int] = None
+    # Evaluate the native-resolution weight MLP with the fused Pallas kernel
+    # (ops/pallas/weight_mlp.py) instead of the XLA dot chain. Measured at
+    # reference scale the kernel is ~3 ms/step SLOWER (its transposed
+    # contractions relayout each block in-kernel), so the XLA chain stays
+    # the default; the kernel is kept as a tested option for shapes where
+    # the 128-wide HBM intermediates dominate.
+    fused_weight_mlp: bool = False
     # Where the correspondence-weight MLP runs. The reference upsamples the
     # half-resolution decoder features x2, warps them by full-res flow, and
     # evaluates the MLP per full-res pixel (backbone_midas.py:57-64,75-127).
@@ -251,14 +258,31 @@ def apply_midas(
         layer0 = mlp_params[0]
         w_a = layer0["kernel"][:cn]
         w_b = layer0["kernel"][cn:]
-        x = (
-            jnp.einsum("nhwc,ck->nhwk", warped_nhwc, w_a)
-            + jnp.einsum("nhwc,ck->nhwk", later_nhwc, w_b)
-            + layer0["bias"]
-        )
-        x = jax.nn.relu(x)
-        logits = _apply_weight_mlp(mlp_params[1:], x).astype(jnp.float32)
-        weights_half = jnp.clip(jax.nn.sigmoid(logits[..., 0]), min=1e-4)
+        if cfg.fused_weight_mlp and len(mlp_params) == 3:
+            # Fused per-pixel MLP: every 128/64-wide intermediate stays in
+            # VMEM (ops/pallas/weight_mlp.py; opt-in — see cfg docstring).
+            from ...ops.pallas.weight_mlp import weight_mlp
+
+            n_pix = b * (f - 1) * hn * wn
+            logits = weight_mlp(
+                warped_nhwc.reshape(n_pix, cn),
+                later_nhwc.reshape(n_pix, cn),
+                (
+                    (w_a, w_b, layer0["bias"]),
+                    (mlp_params[1]["kernel"], mlp_params[1]["bias"]),
+                    (mlp_params[2]["kernel"], mlp_params[2]["bias"]),
+                ),
+            ).reshape(b * (f - 1), hn, wn)
+            weights_half = jnp.clip(jax.nn.sigmoid(logits), min=1e-4)
+        else:
+            x = (
+                jnp.einsum("nhwc,ck->nhwk", warped_nhwc, w_a)
+                + jnp.einsum("nhwc,ck->nhwk", later_nhwc, w_b)
+                + layer0["bias"]
+            )
+            x = jax.nn.relu(x)
+            logits = _apply_weight_mlp(mlp_params[1:], x).astype(jnp.float32)
+            weights_half = jnp.clip(jax.nn.sigmoid(logits[..., 0]), min=1e-4)
         weights = resize_bilinear(weights_half[:, None], (h, w))[:, 0]
         return BackboneOutput(
             depths=depths, weights=weights.reshape(b, f - 1, h, w)

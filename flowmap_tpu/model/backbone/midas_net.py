@@ -326,19 +326,71 @@ def _encoder_init(key, fold_bn=False):
 
 
 def _encoder(p, x):
-    """Run the encoder; returns the 4 tapped feature maps (NHWC)."""
+    """Run the encoder; returns the 4 tapped feature maps (NHWC).
+
+    On the folded-BN (pretrained) path with Pallas kernels enabled, runs of
+    consecutive stride-1 MBConv blocks execute as fused VMEM-resident chains
+    (`ops/pallas/mbconv.py`) — a whole stage pair becomes one kernel instead
+    of ~27 XLA convolutions. Stride-2 blocks, the stem, and the
+    batch-statistics BN path keep the XLA formulation (batch stats couple
+    frames across the chain's per-frame grid).
+    """
+    from ...ops.pallas import runtime as _prt
+    from ...ops.pallas.mbconv import MBConvSpec, mbconv_chain
+
     x = _relu6(_bn(p["stem_bn"], _conv(p["stem_conv"], x, stride=2)))
+    folded = p["stem_bn"] is None and _prt.kernels_enabled()
     taps = {}
     idx = 0
     cin = _STEM_CHANNELS
-    stage_of_block = []
+    pending: list = []  # [(MBConvSpec, params)] eligible consecutive blocks
+
+    # Minimum spatial size (h*w) for the fused kernel path; below it the
+    # XLA formulation runs. Measured at reference scale (150x160x224, v5e):
+    # the fused kernels are a wash at 40x56 and LOSE ~12 ms/step at the /16
+    # and /32 stages — there HBM is cheap and XLA's materialize-everything
+    # backward beats the kernel's in-VMEM recompute (3 extra stencil passes).
+    # Default is therefore off; probes/tests opt in via the env knob.
+    import os
+
+    min_hw = int(os.environ.get("FLOWMAP_MBCONV_MIN_HW", str(1 << 30)))
+
+    def flush(x):
+        if not pending:
+            return x
+        if x.shape[1] * x.shape[2] >= min_hw:
+            specs = tuple(s for s, _ in pending)
+            params = tuple(
+                {k: q[k] for k in ("expand_conv", "dw_conv", "project_conv")}
+                for _, q in pending
+            )
+            x = mbconv_chain(x, specs, params)
+        else:
+            for s, q in pending:
+                x = _mbconv(
+                    q, x, s.cin, s.cout, s.cmid // s.cin, 1, s.kernel
+                )
+        pending.clear()
+        return x
+
     for s, (expand, cout, repeats, stride, kernel) in enumerate(_LITE3_STAGES):
         for r in range(repeats):
-            x = _mbconv(
-                p["blocks"][idx], x, cin, cout, expand, stride if r == 0 else 1, kernel
-            )
+            st = stride if r == 0 else 1
+            blk = p["blocks"][idx]
+            if folded and st == 1 and expand != 1:
+                pending.append(
+                    (
+                        MBConvSpec(cin, cin * expand, cout, kernel, cin == cout),
+                        blk,
+                    )
+                )
+            else:
+                x = flush(x)
+                x = _mbconv(blk, x, cin, cout, expand, st, kernel)
             cin = cout
             idx += 1
+        if s in (1, 2, 4, 6):
+            x = flush(x)
         taps[s] = x
     # MiDaS taps: layer1 = after stage 1 (/4, 32ch), layer2 = stage 2 (/8,
     # 48ch), layer3 = stage 4 (/16, 136ch), layer4 = stage 6 (/32, 384ch).

@@ -18,6 +18,13 @@ from pathlib import Path
 
 import numpy as np
 
+# Before the package imports below: with FLOWMAP_CHECK_SHAPES=1 every
+# annotated function in subsequently-imported flowmap_tpu modules is
+# shape-checked per call (reference `flowmap/overfit.py:16-19`).
+from .utils.contracts import maybe_install_shape_contracts
+
+maybe_install_shape_contracts()
+
 from .config import OverfitCfg, compose_config
 from .datasets import example_to_batch, get_dataset
 from .export import export_to_colmap

@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .utils.contracts import maybe_install_shape_contracts
+
+maybe_install_shape_contracts()  # FLOWMAP_CHECK_SHAPES=1 (reference overfit.py:16-19)
+
 from .config import PretrainCfg, compose_config
 from .datasets import get_dataset
 from .datasets.loader import PrefetchLoader

@@ -20,6 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from .utils.contracts import maybe_install_shape_contracts
+
+maybe_install_shape_contracts()  # FLOWMAP_CHECK_SHAPES=1 (reference overfit.py:16-19)
+
 from .config.loader import compose_config
 from .flow.predictors import FlowPredictorCfg, FlowPredictorGMFlowCfg
 from .ops.resize import resize_bilinear

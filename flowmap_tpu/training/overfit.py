@@ -200,9 +200,16 @@ def make_train_step(
     loss_cfgs: Sequence[LossCfg],
     optimizer: optax.GradientTransformation,
     base_key: jax.Array,
-    staged_vjp: bool = True,
+    staged_vjp: bool = False,
 ) -> Callable:
-    """Build the single-step update: (state, batch, flows, tracks) -> state, metrics."""
+    """Build the single-step update: (state, batch, flows, tracks) -> state, metrics.
+
+    `staged_vjp` defaults to False — the same monolithic backward the CLI
+    ships (`OverfitTrainerCfg.staged_vjp`); bench.py and the CLI therefore
+    measure/run one graph. Measured on v5e at reference scale the two
+    variants are within noise (126.5 vs 126.9 ms/step), so the simpler
+    graph is the default and the staged chain stays as a fusion-bounding
+    fallback."""
 
     def train_step(
         state: TrainState,

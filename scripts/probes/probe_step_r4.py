@@ -37,8 +37,8 @@ tracks = pack_tracks(
 loss_cfgs = [LossFlowCfg(), LossTrackingCfg()]
 trainer_cfg = OverfitTrainerCfg(lr=3e-5, max_steps=2000)
 
-for bn in ("batch", "folded"):
-    for staged in (True, False):
+for bn in ("folded",):
+    for staged in (False,):
         model_cfg = ModelCfg(
             backbone=BackboneMidasCfg(pretrained=False, mapping="exp", bn=bn),
             intrinsics=IntrinsicsSoftminCfg(

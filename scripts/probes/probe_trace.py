@@ -5,6 +5,7 @@ Writes to /tmp/jax_trace; inspect with scripts/probes/summarize_trace.py.
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -37,7 +38,7 @@ tracks = pack_tracks(
 )
 
 model_cfg = ModelCfg(
-    backbone=BackboneMidasCfg(pretrained=False, mapping="exp"),
+    backbone=BackboneMidasCfg(pretrained=False, mapping="exp", bn="folded"),
     intrinsics=IntrinsicsSoftminCfg(regression=RegressionCfg(after_step=1000, window=100)),
     extrinsics=ExtrinsicsProcrustesCfg(num_points=1000),
 )
@@ -46,7 +47,7 @@ loss_cfgs = [LossFlowCfg(), LossTrackingCfg()]
 trainer_cfg = OverfitTrainerCfg(lr=3e-5)
 state, optimizer = init_train_state(model_cfg, trainer_cfg, NUM_FRAMES, IMAGE_SHAPE)
 step = jax.jit(
-    make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0), staged_vjp=True),
+    make_train_step(model_cfg, loss_cfgs, optimizer, jax.random.PRNGKey(0), staged_vjp=False),
     donate_argnums=(0,),
 )
 

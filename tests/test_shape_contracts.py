@@ -51,3 +51,41 @@ def test_bad_shapes_raise(checked_geometry):
     with pytest.raises(Exception):
         # 3x3 is not a rigid 4x4 transform.
         G.rigid_inverse(jnp.eye(3))
+
+
+def test_cli_env_gate_installs_and_catches(tmp_path):
+    """FLOWMAP_CHECK_SHAPES=1 on an entry point instruments the package:
+    a deliberately wrong-shape call into the geometry core fails loudly
+    (the reference's `install_import_hook` behavior, `overfit.py:16-19`)."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    program = (
+        "import flowmap_tpu.overfit\n"  # installs the hook via the env gate
+        "import jax.numpy as jnp\n"
+        "from flowmap_tpu.ops import geometry\n"
+        "try:\n"
+        "    geometry.rigid_inverse(jnp.eye(3))\n"
+        "except Exception as e:\n"
+        "    print('CAUGHT', type(e).__name__)\n"
+        "else:\n"
+        "    print('NOT CAUGHT')\n"
+    )
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=str(Path(__file__).parent.parent),
+        JAX_PLATFORMS="cpu",
+        FLOWMAP_CHECK_SHAPES="1",
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", program],
+        env=env,
+        cwd=Path(__file__).parent.parent,
+        capture_output=True,
+        timeout=300,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CAUGHT" in proc.stdout, proc.stdout + proc.stderr[-500:]
