@@ -429,8 +429,13 @@ def _fusion(p, x, skip=None):
     if skip is not None:
         x = x + _rcu(p["rcu1"], skip)
     x = _rcu(p["rcu2"], x)
-    x = _upsample2x(x, align_corners=True)
-    return _conv(p["out_conv"], x)
+    # The reference applies the 1x1 squeeze AFTER the x2 upsample
+    # (FeatureFusionBlock.forward); a 1x1 conv commutes exactly with the
+    # convex align_corners=True bilinear weights (sum to 1, so the bias
+    # passes through too), and running it at half resolution does the conv
+    # on 4x fewer pixels and upsamples c_out <= c channels.
+    x = _conv(p["out_conv"], x)
+    return _upsample2x(x, align_corners=True)
 
 
 def midas_small_init(key, fold_bn: bool = False) -> dict:
