@@ -177,6 +177,95 @@ _UP2_B = _np.asarray(
 )
 
 
+def _head_tail(y, b2, w3, b3):
+    """(..., cout) pre-bias conv2 output -> (...) projected scalar."""
+    y = jax.nn.relu(y + b2.astype(y.dtype))
+    return jnp.einsum("...c,c->...", y.astype(w3.dtype), w3) + b3
+
+
+def _head_strips(zt, zb, zl, zr, conv2, w3, b3, h, w):
+    """Exact TWO border rows/columns of the head output on each side.
+
+    zt/zb: (n, 2, w, cin) top/bottom z rows; zl/zr: (n, h, 2, cin)
+    left/right z columns. Returns (y_top, y_bot, y_left, y_right), each two
+    full-resolution rows (columns): the upsample's border clamp is
+    reproduced via the interp matrix / the 0.75-0.25 tap pair, and conv2's
+    zero padding applies at the frame edge. Two-wide because the head
+    kernel's zero-padded interior is invalid wherever the parity conv
+    touches the upsample clamp — output rows 0..1 and 2h-2..2h-1.
+    """
+    w2c = conv2["kernel"].astype(zt.dtype)
+    b2 = conv2["bias"]
+
+    def strip(band, pad_h, pad_w):
+        y = jax.lax.conv_general_dilated(
+            band, w2c, (1, 1), (pad_h, pad_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return _head_tail(y, b2, w3, b3)
+
+    ax = _interp_matrix(2 * w, w, False, zt.dtype)
+    ay = _interp_matrix(2 * h, h, False, zt.dtype)
+    q1, q3 = jnp.asarray(0.25, zt.dtype), jnp.asarray(0.75, zt.dtype)
+
+    # Upsampled rows 0..2 (top) and 2h-3..2h-1 (bottom) along H.
+    band_t = jnp.concatenate(
+        [
+            zt[:, 0:1],
+            q3 * zt[:, 0:1] + q1 * zt[:, 1:2],
+            q1 * zt[:, 0:1] + q3 * zt[:, 1:2],
+        ],
+        axis=1,
+    )
+    band_t = jnp.einsum("Ow,nrwc->nrOc", ax, band_t)
+    y_top = strip(band_t, (1, 0), (1, 1))  # (n, 2, 2w)
+    band_b = jnp.concatenate(
+        [
+            q3 * zb[:, 0:1] + q1 * zb[:, 1:2],
+            q1 * zb[:, 0:1] + q3 * zb[:, 1:2],
+            zb[:, 1:2],
+        ],
+        axis=1,
+    )
+    band_b = jnp.einsum("Ow,nrwc->nrOc", ax, band_b)
+    y_bot = strip(band_b, (0, 1), (1, 1))
+    band_l = jnp.concatenate(
+        [
+            zl[:, :, 0:1],
+            q3 * zl[:, :, 0:1] + q1 * zl[:, :, 1:2],
+            q1 * zl[:, :, 0:1] + q3 * zl[:, :, 1:2],
+        ],
+        axis=2,
+    )
+    band_l = jnp.einsum("Oh,nhrc->nOrc", ay, band_l)
+    y_left = strip(band_l, (1, 1), (1, 0))  # (n, 2h, 2)
+    band_r = jnp.concatenate(
+        [
+            q3 * zr[:, :, 0:1] + q1 * zr[:, :, 1:2],
+            q1 * zr[:, :, 0:1] + q3 * zr[:, :, 1:2],
+            zr[:, :, 1:2],
+        ],
+        axis=2,
+    )
+    band_r = jnp.einsum("Oh,nhrc->nOrc", ay, band_r)
+    y_right = strip(band_r, (1, 1), (0, 1))
+    return y_top, y_bot, y_left, y_right
+
+
+def _head_splice(y_main, strips):
+    y_top, y_bot, y_left, y_right = strips
+    y = jnp.concatenate([y_top, y_main[:, 2:-2], y_bot], axis=1)
+    return jnp.concatenate([y_left, y[:, :, 2:-2], y_right], axis=2)
+
+
+def _head_parity_kernel(conv2, dtype):
+    """Compose upsample(ac=False) with conv2 into the 4-phase 3x3 kernel."""
+    w2 = conv2["kernel"].astype(jnp.float32)  # (3, 3, cin, cout)
+    cin, cout = w2.shape[2], w2.shape[3]
+    k = jnp.einsum("pad,qbe,deio->abipqo", _UP2_B, _UP2_B, w2)
+    return k.reshape(3, 3, cin, 4 * cout).astype(dtype)
+
+
 def _head_up2_conv_proj(z, conv2, w3, b3):
     """relu(conv2(upsample2x_ac_false(z))) @ w3 + b3, without materializing
     the full-resolution conv2 activation.
@@ -197,65 +286,60 @@ def _head_up2_conv_proj(z, conv2, w3, b3):
     """
     n, h, w, cin = z.shape
     assert h >= 2 and w >= 2, "head parity composition needs h, w >= 2"
-    w2 = conv2["kernel"].astype(jnp.float32)  # (3, 3, cin, cout)
-    cout = w2.shape[-1]
+    cout = conv2["kernel"].shape[-1]
     b2 = conv2["bias"]
 
-    def tail(y):
-        # y: (..., cout) pre-bias conv2 output -> (...) projected scalar.
-        y = jax.nn.relu(y + b2.astype(y.dtype))
-        return jnp.einsum("...c,c->...", y.astype(w3.dtype), w3) + b3
-
     # Interior: parity-composed kernel, one VALID conv on replicate-padded z.
-    k = jnp.einsum("pad,qbe,deio->abipqo", _UP2_B, _UP2_B, w2)
-    k = k.reshape(3, 3, cin, 4 * cout).astype(z.dtype)
+    k = _head_parity_kernel(conv2, z.dtype)
     zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     phases = jax.lax.conv_general_dilated(
         zp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
-    y_main = tail(phases.reshape(n, h, w, 2, 2, cout))
+    y_main = _head_tail(phases.reshape(n, h, w, 2, 2, cout), b2, w3, b3)
     y_main = y_main.transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, 2 * w)
 
-    w2c = w2.astype(z.dtype)
+    strips = _head_strips(
+        z[:, 0:2], z[:, -2:], z[:, :, 0:2], z[:, :, -2:], conv2, w3, b3, h, w
+    )
+    return _head_splice(y_main, strips)
 
-    def strip(band, pad_h, pad_w):
+
+def _head_fused(features_nchw, path1, head_params, w3, b3):
+    """Kernel-path head: fused interior (ops/pallas/head_kernel.py) + the
+    exact XLA border strips computed from thin conv1 bands."""
+    from ...ops.pallas.head_kernel import head_interior
+
+    conv1, conv2 = head_params["conv1"], head_params["conv2"]
+    n, h, w, _ = path1.shape
+    kp = _head_parity_kernel(conv2, jnp.float32)
+    y4 = head_interior(
+        features_nchw,
+        conv1["kernel"],
+        conv1["bias"],
+        kp,
+        conv2["bias"],
+        w3,
+        b3,
+    )
+    y_main = (
+        y4.reshape(n, 2, 2, h, w)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(n, 2 * h, 2 * w)
+    )
+
+    def band(x, pad_h, pad_w):
         y = jax.lax.conv_general_dilated(
-            band, w2c, (1, 1), (pad_h, pad_w),
+            x, conv1["kernel"].astype(x.dtype), (1, 1), (pad_h, pad_w),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return tail(y)
+        return y + conv1["bias"]
 
-    # Border bands: the two upsample rows (columns) adjacent to each edge,
-    # exact in the cross direction via the interp matrix (clamp included).
-    ax = _interp_matrix(2 * w, w, False, z.dtype)
-    ay = _interp_matrix(2 * h, h, False, z.dtype)
-    third = jnp.asarray(0.75, z.dtype), jnp.asarray(0.25, z.dtype)
-
-    band_t = jnp.concatenate(
-        [z[:, 0:1], third[0] * z[:, 0:1] + third[1] * z[:, 1:2]], axis=1
-    )
-    band_t = jnp.einsum("Ow,nrwc->nrOc", ax, band_t)
-    y_top = strip(band_t, (1, 0), (1, 1))  # (n, 1, 2w)
-    band_b = jnp.concatenate(
-        [third[1] * z[:, -2:-1] + third[0] * z[:, -1:], z[:, -1:]], axis=1
-    )
-    band_b = jnp.einsum("Ow,nrwc->nrOc", ax, band_b)
-    y_bot = strip(band_b, (0, 1), (1, 1))
-    band_l = jnp.concatenate(
-        [z[:, :, 0:1], third[0] * z[:, :, 0:1] + third[1] * z[:, :, 1:2]],
-        axis=2,
-    )
-    band_l = jnp.einsum("Oh,nhrc->nOrc", ay, band_l)
-    y_left = strip(band_l, (1, 1), (1, 0))  # (n, 2h, 1)
-    band_r = jnp.concatenate(
-        [third[1] * z[:, :, -2:-1] + third[0] * z[:, :, -1:], z[:, :, -1:]],
-        axis=2,
-    )
-    band_r = jnp.einsum("Oh,nhrc->nOrc", ay, band_r)
-    y_right = strip(band_r, (1, 1), (0, 1))
-
-    y = jnp.concatenate([y_top, y_main[:, 1:-1], y_bot], axis=1)
-    return jnp.concatenate([y_left, y[:, :, 1:-1], y_right], axis=2)
+    zt = band(path1[:, 0:3], (1, 0), (1, 1))
+    zb = band(path1[:, -3:], (0, 1), (1, 1))
+    zl = band(path1[:, :, 0:3], (1, 1), (1, 0))
+    zr = band(path1[:, :, -3:], (1, 1), (0, 1))
+    strips = _head_strips(zt, zb, zl, zr, conv2, w3, b3, h, w)
+    return _head_splice(y_main, strips)
 
 
 # ---------------------------------------------------------------------------
@@ -489,17 +573,30 @@ class MidasSmall:
         path1 = _fusion(params["refinenet1"], path2, l1)  # (n, h/2, w/2, 64)
 
         h = params["head"]
-        z = _conv(h["conv1"], path1)
-        y = _head_up2_conv_proj(
-            z,
-            h["conv2"],
-            h["conv3"]["kernel"][0, 0, :, 0],
-            h["conv3"]["bias"][0],
-        )
+        w3 = h["conv3"]["kernel"][0, 0, :, 0]
+        b3 = h["conv3"]["bias"][0]
+        features = jnp.transpose(path1, (0, 3, 1, 2))  # NCHW
+
+        from ...ops.pallas import runtime as _prt
+
+        hh, ww = path1.shape[1], path1.shape[2]
+        # f32 on real TPU falls back to XLA: the backward's f32 working set
+        # exceeds VMEM (bf16 fits; interpret mode has no limit and is the
+        # exact-parity CI path).
+        if (
+            _prt.kernels_enabled()
+            and (_prt.interpret_mode() or path1.dtype == jnp.bfloat16)
+            and path1.shape[3] == 64
+            and 3 <= ww <= 126
+            and hh >= 3
+        ):
+            y = _head_fused(features, path1, h, w3, b3)
+        else:
+            z = _conv(h["conv1"], path1)
+            y = _head_up2_conv_proj(z, h["conv2"], w3, b3)
         if mapping == "original":
             # Final non-negativity ReLU (dropped for the "exp" mapping,
             # reference backbone_midas.py:70-71).
             y = jax.nn.relu(y)
 
-        features = jnp.transpose(path1, (0, 3, 1, 2))  # NCHW
         return y, features
