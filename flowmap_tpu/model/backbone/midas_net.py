@@ -59,6 +59,8 @@ def _conv_init(key, cin: int, cout: int, k: int, groups: int = 1, bias: bool = T
 
 
 def _conv(params, x, stride: int = 1, groups: int = 1, padding="SAME"):
+    # NB 1x1 convs as explicit dots were measured ~10 ms/step SLOWER at
+    # reference scale (XLA's conv fusions + layouts beat the dot lowering).
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"],
@@ -99,6 +101,19 @@ def _bn(params, x, eps: float = 1e-3):
 
 def _relu6(x):
     return jnp.clip(x, 0.0, 6.0)
+
+
+def _mbconv_down_min_hw() -> int:
+    """Min OUTPUT h*w for the fused stride-2 kernel (A/B knob).
+
+    Default OFF: the kernel is exact (CPU interpret parity to 3e-7) and
+    compiles for TPU after VMEM-stack restructuring, but the compiled
+    kernel currently faults the TPU worker at runtime — under debug.
+    Opt in via FLOWMAP_MBCONV_DOWN_MIN_HW for experiments.
+    """
+    import os
+
+    return int(os.environ.get("FLOWMAP_MBCONV_DOWN_MIN_HW", str(1 << 30)))
 
 
 def _interp_matrix(size_out: int, size_in: int, align_corners: bool, dtype):
@@ -377,6 +392,25 @@ def _mbconv_init(key, cin, cout, expand, kernel, fold_bn=False):
 
 def _mbconv(p, x, cin, cout, expand, stride, kernel):
     mid_groups = cin * expand
+    if (
+        stride == 2
+        and expand != 1
+        and p.get("dw_bn") is None  # folded BN (pretrained path)
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+        and x.shape[2] // 2 <= 126
+        and (x.shape[1] // 2) * (x.shape[2] // 2) >= _mbconv_down_min_hw()
+    ):
+        from ...ops.pallas import runtime as _prt
+
+        # bf16-only on real TPU (the f32 backward working set exceeds VMEM;
+        # interpret mode is the exact-parity CI path).
+        if _prt.kernels_enabled() and (
+            _prt.interpret_mode() or x.dtype == jnp.bfloat16
+        ):
+            from ...ops.pallas.mbconv_down import mbconv_down
+
+            return mbconv_down(x, p, cin, mid_groups, cout, kernel)
     shortcut = x
     if expand != 1:
         x = _relu6(_bn(p["expand_bn"], _conv(p["expand_conv"], x)))

@@ -72,6 +72,13 @@ def _lanes(c: int) -> int:
     return _ceil_to(c, 128)
 
 
+def _clip_vjp_mask(z):
+    """d clip(z, 0, 6)/dz with JAX's tie convention (0.5 at exact 0/6)."""
+    inner = ((z > 0.0) & (z < 6.0)).astype(jnp.float32)
+    ties = ((z == 0.0) | (z == 6.0)).astype(jnp.float32)
+    return inner + 0.5 * ties
+
+
 def _relu6_f32(z):
     return jnp.clip(z, 0.0, 6.0)
 
@@ -192,7 +199,7 @@ def _bwd_kernel(spec, w_real, x_ref, *refs):
     d_mid2 = _dot_t(gc.reshape(-1, wpr.shape[1]), wpr, (1, 1)).reshape(
         bf, h, wp, cmidp
     )
-    d_z2 = wmask(jnp.where((z2 > 0.0) & (z2 < 6.0), d_mid2, 0.0))
+    d_z2 = wmask(d_mid2 * _clip_vjp_mask(z2))
 
     # Depthwise: z2 = sum_taps shift(mid1) * wdw + bdw. Per tap, reduce only
     # over the untiled (bf, h) dims; the single cross-sublane reduction over
@@ -216,7 +223,7 @@ def _bwd_kernel(spec, w_real, x_ref, *refs):
                 :, k - 1 - dy : k - 1 - dy + h, k - 1 - dx : k - 1 - dx + wp, :
             ]
             d_mid1 = d_mid1 + sl.astype(jnp.float32) * tap[None, None]
-    d_z1 = wmask(jnp.where((z1 > 0.0) & (z1 < 6.0), d_mid1, 0.0))
+    d_z1 = wmask(d_mid1 * _clip_vjp_mask(z1))
 
     # Expand: z1 = xin @ we + be.
     gw_refs[1][...] += jnp.sum(d_z1, axis=(0, 1, 2))[None]
