@@ -36,7 +36,8 @@ from flowmap_tpu.training.pretrain import (
 from flowmap_tpu.types import Batch
 
 B, F = 16, 8
-H, W = 144, 200  # reference 150x200; 144 keeps the /32 pyramid aligned
+H, W = 128, 192  # reference targets 150x200, then patch-crops to /32
+# multiples (flowmap/misc/cropping.py:36-37) -> the model actually sees 128x192
 HF, WF = 288, 400  # flow at 2x (flow_scale_multiplier x patch rounding)
 
 rng = np.random.default_rng(0)
