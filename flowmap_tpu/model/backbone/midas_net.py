@@ -106,10 +106,13 @@ def _relu6(x):
 def _mbconv_down_min_hw() -> int:
     """Min OUTPUT h*w for the fused stride-2 kernel (A/B knob).
 
-    Default OFF: the kernel is exact (CPU interpret parity to 3e-7) and
-    compiles for TPU after VMEM-stack restructuring, but the compiled
-    kernel currently faults the TPU worker at runtime — under debug.
-    Opt in via FLOWMAP_MBCONV_DOWN_MIN_HW for experiments.
+    Default OFF — a recorded NEGATIVE result: the kernel is exact (CPU
+    interpret parity 3e-7) and runs standalone on TPU, but measures 16.8 ms
+    fwd+bwd vs 12.0 for the XLA formulation at reference scale (the
+    VMEM-stack workarounds it needs — per-field passes, halved RMW
+    accumulations, a recompute backward — cost more VPU traffic than the
+    fused-HBM saving), and inside the full train step it faults the TPU
+    worker (unresolved interaction). Opt in for experiments only.
     """
     import os
 
