@@ -1,5 +1,6 @@
 """Full-scale flagship convergence: reference scale, 2000 steps, on TPU.
 Produces the convergence curve recorded in BASELINE.md."""
+import sys; sys.path.insert(0, "/root/repo")
 import sys, time
 import jax, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
