@@ -84,24 +84,25 @@ def _conv3x3_flat(xpad_flat, kT_dx, p_out, cdt):
     return out, patches
 
 
-def _fwd_math(x, k1T, b1, kpT, b2t, w3b, b3, p_out, cdt, want_pre=False):
-    """x: (64, p_out + 256) one padded frame. Returns y4 (4, p_out) f32."""
-    z, patches1 = _conv3x3_flat(x, k1T, p_out, cdt)
-    z = z + b1.astype(jnp.float32)[:, None]
-    zpad = jnp.pad(z.astype(cdt), ((0, 0), (128, 128)))
-    ph, patches2 = _conv3x3_flat(zpad, kpT, p_out, cdt)
+def _fwd_math(x, k1T, b1, kpT, b2t, w3b, b3, p_out, cdt):
+    """x: (64, p_out + 256) one padded frame.
+
+    Returns (y4 (4, p_out) f32, zc (32, p_out) cdt) — zc (the biased conv1
+    output) is saved to HBM so the backward skips the conv1 recompute."""
+    z, _ = _conv3x3_flat(x, k1T, p_out, cdt)
+    zc = (z + b1.astype(jnp.float32)[:, None]).astype(cdt)
+    zpad = jnp.pad(zc, ((0, 0), (128, 128)))
+    ph, _ = _conv3x3_flat(zpad, kpT, p_out, cdt)
     t = jax.nn.relu(ph + b2t.astype(jnp.float32)[:, None])
     tc = t.astype(cdt)
     y4 = _dot(w3b.astype(cdt), tc) + b3
-    if want_pre:
-        return y4, (patches1, z, patches2, t, tc)
-    return y4
+    return y4, zc
 
 
 def _fwd_kernel(p_out, x_ref, k1T0, k1T1, k1T2, b1_ref, kpT0, kpT1, kpT2,
-                b2_ref, w3b_ref, b3_ref, out_ref):
+                b2_ref, w3b_ref, b3_ref, out_ref, z_ref):
     cdt = x_ref.dtype
-    y4 = _fwd_math(
+    y4, zc = _fwd_math(
         x_ref[0],
         (k1T0[...], k1T1[...], k1T2[...]),
         b1_ref[...][0],
@@ -113,6 +114,7 @@ def _fwd_kernel(p_out, x_ref, k1T0, k1T1, k1T2, b1_ref, kpT0, kpT1, kpT2,
         cdt,
     )
     out_ref[...] = y4[None].astype(out_ref.dtype)
+    z_ref[...] = zc[None]
 
 
 def _scatter_center(piece, n_ch, p_out):
@@ -140,17 +142,17 @@ def _scatter_padded(piece, n_ch, p_out):
     return out
 
 
-def _bwd_tail_kernel(p_out, x_ref, k1T0, k1T1, k1T2, b1_ref, kpT0, kpT1,
+def _bwd_tail_kernel(p_out, zc_ref, kpT0, kpT1,
                      kpT2, b2_ref, w3b_ref, g_ref,
                      dz_ref, dkpT0, dkpT1, dkpT2, db2_ref, dw3b_ref,
                      db3_ref):
-    """Backward through projection + relu + phases conv; emits dz to HBM."""
-    cdt = x_ref.dtype
-    k1T = (k1T0[...], k1T1[...], k1T2[...])
+    """Backward through projection + relu + phases conv; emits dz to HBM.
+
+    Consumes the conv1 output saved by the forward instead of recomputing
+    it (and so needs neither x nor the conv1 weights)."""
+    cdt = zc_ref.dtype
     kpT = (kpT0[...], kpT1[...], kpT2[...])
-    z, _ = _conv3x3_flat(x_ref[0], k1T, p_out, cdt)
-    z = z + b1_ref[...][0].astype(jnp.float32)[:, None]
-    zpad = jnp.pad(z.astype(cdt), ((0, 0), (128, 128)))
+    zpad = jnp.pad(zc_ref[0], ((0, 0), (128, 128)))
     ph, patches2 = _conv3x3_flat(zpad, kpT, p_out, cdt)
     t = jax.nn.relu(ph + b2_ref[...][0].astype(jnp.float32)[:, None])
     tc = t.astype(cdt)
@@ -246,29 +248,33 @@ def _head_core(x, k1, b1, kp, w3_params, interp, p_out):
     cdt = x.dtype
     ops = _operands(k1, b1, kp, w3_params, cdt)
     io = lambda c, p: pl.BlockSpec((1, c, p), lambda i: (i, 0, 0))
-    return pl.pallas_call(
+    y4, zc = pl.pallas_call(
         functools.partial(_fwd_kernel, p_out),
         grid=(n,),
         in_specs=[io(64, p_out + 256)] + _wspecs(),
-        out_specs=io(4, p_out),
-        out_shape=jax.ShapeDtypeStruct((n, 4, p_out), jnp.float32),
+        out_specs=[io(4, p_out), io(32, p_out)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 4, p_out), jnp.float32),
+            jax.ShapeDtypeStruct((n, 32, p_out), cdt),
+        ],
         interpret=interp,
     )(x, *ops)
+    return y4, zc
 
 
 def _core_fwd(x, k1, b1, kp, w3_params, interp, p_out):
-    return _head_core(x, k1, b1, kp, w3_params, interp, p_out), (
-        x, k1, b1, kp, w3_params,
-    )
+    y4, zc = _head_core(x, k1, b1, kp, w3_params, interp, p_out)
+    return (y4, zc), (x, zc, k1, b1, kp, w3_params)
 
 
 def _core_bwd(interp, p_out, res, g):
-    x, k1, b1, kp, w3_params = res
+    x, zc, k1, b1, kp, w3_params = res
+    g = g[0]  # the zc output's cotangent is zero (callers discard zc)
     b2, w3, b3 = w3_params
     n = x.shape[0]
     cdt = x.dtype
     ops = _operands(k1, b1, kp, w3_params, cdt)
-    k1T_ops, b1_op = ops[0:3], ops[3]
+    k1T_ops = ops[0:3]
     kpT_ops, b2_op, w3b_op = ops[4:7], ops[7], ops[8]
     io = lambda c, p: pl.BlockSpec((1, c, p), lambda i: (i, 0, 0))
     acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0))
@@ -278,9 +284,7 @@ def _core_bwd(interp, p_out, res, g):
     outs = pl.pallas_call(
         functools.partial(_bwd_tail_kernel, p_out),
         grid=(n,),
-        in_specs=[io(64, p_out + 256)]
-        + [full2((32, 192))] * 3
-        + [full2((1, 32))]
+        in_specs=[io(32, p_out)]
         + [full2((128, 96))] * 3
         + [full2((1, 128)), full2((4, 128))]
         + [io(4, p_out)],
@@ -288,7 +292,7 @@ def _core_bwd(interp, p_out, res, g):
         out_shape=[jax.ShapeDtypeStruct((n, 32, p_out), cdt)]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s in tail_accs],
         interpret=interp,
-    )(x, *k1T_ops, b1_op, *kpT_ops, b2_op, w3b_op, g)
+    )(zc, *kpT_ops, b2_op, w3b_op, g)
     dz = outs[0]
     dkpT, db2t = outs[1:4], outs[4][0]
     dw3b, db3 = outs[5], outs[6][0, 0]
@@ -349,7 +353,7 @@ def head_interior(features_nchw, k1, b1, kp, b2, w3, b3):
     xp = jnp.pad(features_nchw, ((0, 0), (0, 0), (1, 1), (1, 127 - w)))
     xf = xp.reshape(n, 64, (h + 2) * 128)
     p_out = h * 128
-    y4 = _head_core(
+    y4, _ = _head_core(
         xf, k1, b1, kp, (b2, w3, b3), _rt.interpret_mode(), p_out
     )
     return y4.reshape(n, 4, h, 128)[:, :, :, 1 : 1 + w]
