@@ -236,12 +236,6 @@ def _wspecs():
     )
 
 
-_ACC_SHAPES = [
-    (32, 192), (32, 192), (32, 192), (1, 32),
-    (128, 96), (128, 96), (128, 96), (1, 128), (4, 128), (1, 1),
-]
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _head_core(x, k1, b1, kp, w3_params, interp, p_out):
     n = x.shape[0]
