@@ -48,6 +48,14 @@ def overfit(cfg: OverfitCfg) -> dict:
     start_time = time.time()
     logger = LocalLogger(Path(cfg.output_dir))
 
+    # Optional wandb mirror of the LocalLogger (reference
+    # `misc/common_training_setup.py:33-55`): scalars/images, source upload.
+    # A no-op facade when mode="disabled" or wandb is unavailable.
+    from .utils.wandb_tools import WandbLogger
+
+    wandb_logger = WandbLogger(cfg.wandb, Path(cfg.output_dir))
+    wandb_logger.log_code(Path(__file__).parent)
+
     # Load one scene as one batch (reference: overfit.py:53-58).
     dataset = get_dataset(cfg.dataset, "train", cfg.frame_sampler)
     example = dataset[0]
@@ -94,6 +102,8 @@ def overfit(cfg: OverfitCfg) -> dict:
         lr=cfg.model_wrapper.lr,
         max_steps=cfg.trainer.max_steps,
         val_check_interval=cfg.trainer.val_check_interval,
+        sharding=cfg.trainer.sharding,
+        collectives=cfg.trainer.collectives,
     )
     optimization_start = time.time()
 
@@ -108,7 +118,9 @@ def overfit(cfg: OverfitCfg) -> dict:
                 scalars[key] = value
             else:
                 logger.log_image(key, value, step)
+                wandb_logger.log_image(key, value, step)
         logger.log_metrics(scalars, step)
+        wandb_logger.log_metrics(scalars, step)
         pretty = " ".join(f"{k}={float(v):.5f}" for k, v in sorted(scalars.items()))
         print(f"step {step}: {pretty}")
 
@@ -167,6 +179,20 @@ def overfit(cfg: OverfitCfg) -> dict:
     }
     with open(Path(cfg.output_dir) / "runtime.json", "w") as fp:
         json.dump(runtime, fp)
+
+    # Upload the final run outputs as a wandb artifact (reference
+    # `overfit.py:149-153` uploads colmap.zip as artifact `colmap_<run_id>`
+    # of type "colmap"); the final weights ride along, standing in for
+    # Lightning's `log_model="all"` checkpoint upload.
+    wandb_logger.log_artifact(
+        "colmap_{run_id}",
+        "colmap",
+        {
+            "colmap.zip": Path(cfg.output_dir) / "colmap.zip",
+            "final_params": Path(cfg.output_dir) / "final_params",
+        },
+    )
+    wandb_logger.finish()
     print(f"Done. runtime={runtime['runtime']:.1f}s -> {cfg.output_dir}")
     return {"state": state, "info": info, "runtime": runtime}
 

@@ -52,6 +52,39 @@ class WandbLogger:
 
             self._run.log({key: wandb.Image(image)}, step=step)
 
+    def log_code(self, root: Path | str) -> None:
+        """Upload the package source to the run (reference
+        `flowmap/misc/common_training_setup.py:53-55`)."""
+        if self._run is not None:
+            self._run.log_code(str(root))
+
+    def log_artifact(self, name: str, type: str, files: dict[str, Path]) -> None:
+        """Upload run outputs as a wandb artifact (reference
+        `flowmap/overfit.py:149-153`: the COLMAP export is attached to the
+        run as an artifact named `colmap_<run_id>` of type "colmap").
+
+        `files` maps artifact-internal names to local paths; directories are
+        added recursively. Missing paths are skipped (e.g. optional outputs).
+        """
+        if self._run is None:
+            return
+        import wandb
+
+        artifact = wandb.Artifact(name.format(run_id=self._run.id), type=type)
+        for alias, path in files.items():
+            path = Path(path)
+            if not path.exists():
+                continue
+            if path.is_dir():
+                artifact.add_dir(str(path), name=alias)
+            else:
+                artifact.add_file(str(path), name=alias)
+        logged = self._run.log_artifact(artifact)
+        # Block until the upload completes, as the reference does — the
+        # process may exit immediately after.
+        if hasattr(logged, "wait"):
+            logged.wait()
+
     def finish(self) -> None:
         if self._run is not None:
             self._run.finish()
