@@ -61,3 +61,23 @@ def test_value_and_grad_parity(cfg):
         assert max(jax.tree_util.tree_leaves(errs)) < 1e-5, errs
     finally:
         del os.environ["FLOWMAP_MBCONV_DOWN_MIN_HW"]
+
+
+def test_fault_repro_script_is_gated():
+    """The s1b0 in-step TPU fault has a committed minimal repro
+    (scripts/probes/repro_mbconv_fault.py, VERDICT r4 item 7). It must
+    refuse to dispatch without --yes, because a fault wedges the TPU grant
+    for ~3 minutes. The actual on-TPU repro is manual by design."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "scripts/probes/repro_mbconv_fault.py"],
+        cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0
+    assert "Refusing to run" in proc.stdout
