@@ -164,6 +164,17 @@ def convert_reference_checkpoint(state_dict: dict) -> dict:
         for k, v in sd.items()
         if k.startswith("backbone.midas.")
     }
+    # Lightning-trained checkpoints carry the depth head SEPARATELY: the
+    # reference moves `midas.scratch.output_conv` to `self.midas_out` and
+    # replaces it with nn.Identity before training (`backbone_midas.py:55-56`),
+    # so the saved keys are `backbone.midas_out.{0,2,4}.*`, not
+    # `backbone.midas.scratch.output_conv.*`. Map them back so
+    # `convert_midas_small` sees the torch-hub layout it expects.
+    for idx in (0, 2, 4):
+        for field in ("weight", "bias"):
+            key = f"backbone.midas_out.{idx}.{field}"
+            if key in sd:
+                midas_sd[f"scratch.output_conv.{idx}.{field}"] = sd[key]
     params: dict = {"backbone": {}, "intrinsics": {}, "extrinsics": {}}
     if midas_sd:
         params["backbone"]["midas"] = convert_midas_small(midas_sd)
