@@ -39,6 +39,11 @@ class CheckpointCfg:
 class TrainerCfg:
     val_check_interval: int = 50
     max_steps: int = 2000
+    # Frame sharding of the per-scene step over local devices ("auto"/"none")
+    # and the cross-shard collective implementation ("gspmd"/"explicit") —
+    # see training/overfit.py OverfitTrainerCfg.
+    sharding: Literal["auto", "none"] = "auto"
+    collectives: Literal["gspmd", "explicit"] = "gspmd"
 
 
 @dataclass(frozen=True)

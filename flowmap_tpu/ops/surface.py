@@ -42,8 +42,28 @@ def align_surfaces(
     b, f, h, w, _ = surfaces.shape
     xy, _ = sample_image_grid((h, w), dtype=surfaces.dtype)
 
+    # Explicit-collectives mode (parallel/collectives.py): when the step is
+    # traced under `explicit_collectives` and the frame axis divides the
+    # mesh, the cross-shard pieces — the later-frame halo and the pose-chain
+    # prefix product — use the hand-written shard_map primitives instead of
+    # GSPMD-generated ones. Numerically identical (tests/test_explicit_step.py).
+    from ..parallel.collectives import (
+        current_explicit_mesh,
+        explicit_pose_chain,
+        shifted_next_frames,
+    )
+
+    ctx = current_explicit_mesh()
+    explicit = (
+        ctx is not None and b == 1 and f % ctx[0].shape[ctx[1]] == 0
+    )
+
     # Later-frame 3D points at the selected pixels.
-    xyz_later = later(surfaces).reshape(b, f - 1, h * w, 3)[:, :, indices]
+    if explicit:
+        later_surfaces = shifted_next_frames(surfaces[0], *ctx)[None][:, : f - 1]
+    else:
+        later_surfaces = later(surfaces)
+    xyz_later = later_surfaces.reshape(b, f - 1, h * w, 3)[:, :, indices]
 
     # Where those pixels land in the earlier frame (backward flow displaces
     # the pixel grid), at the selected pixels.
@@ -60,6 +80,8 @@ def align_surfaces(
 
     weights = backward_weights.reshape(b, f - 1, h * w)[..., indices]
     inverse_relative_transformations = align_rigid(xyz_later, xyz_earlier, weights)
+    if explicit:
+        return explicit_pose_chain(inverse_relative_transformations[0], *ctx)[None]
     return get_extrinsics(inverse_relative_transformations)
 
 

@@ -20,11 +20,45 @@ backward pass) and validated against their single-device equivalents in
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+# ---------------------------------------------------------------------------
+# Explicit-collectives mode (VERDICT r4 item 3 / SURVEY §7.1 step 10).
+#
+# When active (set by `make_sharded_train_step(..., collectives="explicit")`
+# around the traced step), frame-sharding-aware ops route their cross-shard
+# data movement through the hand-written primitives below instead of leaving
+# it to the GSPMD partitioner: `align_surfaces` fetches its later-frame
+# surfaces via an explicit one-frame ppermute halo and composes the pose
+# chain with the distributed prefix product. Numerically identical to the
+# GSPMD path (tests/test_explicit_step.py proves step-equivalence on the
+# 8-device CPU mesh); the point is deterministic, profileable communication.
+# ---------------------------------------------------------------------------
+
+_explicit_ctx: list[tuple[Mesh, str]] = []
+
+
+@contextlib.contextmanager
+def explicit_collectives(mesh: Mesh, axis_name: str = "frame"):
+    """Trace-time flag: ops that support explicit collectives consult this.
+
+    Must wrap the *traced* step body (trace happens inside the jitted
+    callable's first execution), not merely the `jax.jit` call site.
+    """
+    _explicit_ctx.append((mesh, axis_name))
+    try:
+        yield
+    finally:
+        _explicit_ctx.pop()
+
+
+def current_explicit_mesh() -> tuple[Mesh, str] | None:
+    return _explicit_ctx[-1] if _explicit_ctx else None
 
 
 def halo_exchange_next(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -67,6 +101,44 @@ def _distributed_prefix_product(local: jnp.ndarray, axis_name: str) -> jnp.ndarr
     offset = jnp.where(idx == 0, eye, inclusive[jnp.maximum(idx - 1, 0)])
 
     return jnp.einsum("ij,njk->nik", offset, local_prefix)
+
+
+def shifted_next_frames(
+    x: jnp.ndarray, mesh: Mesh, axis_name: str = "frame"
+) -> jnp.ndarray:
+    """Global `concat(x[1:], zeros[1])` along a mesh-sharded frame axis,
+    with the cross-shard boundary frame moved by an explicit ppermute halo
+    (one frame's data per shard boundary, riding ICI).
+
+    x: (f, ...) with f divisible by the mesh axis. `later(x) == out[:f-1]`.
+    """
+
+    def body(local):
+        halo = halo_exchange_next(local, axis_name)
+        return jnp.concatenate([local[1:], halo], axis=0)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name)
+    )(x)
+
+
+def explicit_pose_chain(
+    inverse_relative_transformations: jnp.ndarray,  # (pairs, 4, 4)
+    mesh: Mesh,
+    axis_name: str = "frame",
+) -> jnp.ndarray:
+    """`get_extrinsics` via the distributed prefix product, for any pair
+    count: pads the chain with identities to a multiple of the mesh axis
+    (exact — appended identities cannot affect earlier prefix products),
+    runs `distributed_pose_chain`, and slices back."""
+    p = inverse_relative_transformations.shape[0]
+    size = mesh.shape[axis_name]
+    pad = (-p) % size
+    chain = inverse_relative_transformations
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=chain.dtype), (pad, 4, 4))
+        chain = jnp.concatenate([chain, eye], axis=0)
+    return distributed_pose_chain(chain, mesh, axis_name)[: p + 1]
 
 
 def distributed_pose_chain(

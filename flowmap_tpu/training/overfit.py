@@ -50,6 +50,16 @@ class OverfitTrainerCfg:
     # `lax.scan` around the step (useful if steps ever get dispatch-bound,
     # e.g. tiny scenes), at a steep XLA compile-time cost per scene shape.
     steps_per_program: int = 1
+    # Frame-axis sharding of the per-scene step (SURVEY §2.5): "auto" shards
+    # frames over all local devices when more than one is visible and the
+    # frame count divides the device count; "none" forces the single-device
+    # step. On one chip (this image) both are identical.
+    sharding: str = "auto"
+    # Cross-shard communication: "gspmd" trusts the SPMD partitioner;
+    # "explicit" routes the pose-chain prefix product and the later-frame
+    # halo through hand-written shard_map collectives
+    # (parallel/collectives.py). Step-equivalent (tests/test_explicit_step.py).
+    collectives: str = "gspmd"
 
 
 @struct.dataclass
@@ -612,8 +622,34 @@ def run_overfit(
         model_cfg, loss_cfgs, optimizer, key, staged_vjp=trainer_cfg.staged_vjp
     )
 
+    # Frame-shard the step over all local devices when possible (the shipped
+    # multi-chip path — SURVEY §7.1 step 10; previously only reachable via
+    # parallel/ directly). On a single chip this branch never triggers.
+    n_devices = len(jax.devices())
+    shard_frames = (
+        trainer_cfg.sharding == "auto" and n_devices > 1 and f % n_devices == 0
+    )
     interval = min(trainer_cfg.val_check_interval, trainer_cfg.max_steps)
-    if trainer_cfg.steps_per_program > 1:
+    if shard_frames:
+        from ..parallel import (
+            make_mesh,
+            make_sharded_train_step,
+            shard_batch,
+            shard_flows,
+        )
+
+        mesh = make_mesh(n_data=1, n_frame=n_devices)
+        step_fn = make_sharded_train_step(
+            train_step, mesh, state, batch, collectives=trainer_cfg.collectives
+        )
+        batch = shard_batch(batch, mesh)
+        flows = shard_flows(flows, mesh)
+
+        def chunk(state, batch, flows, tracks):
+            return step_fn(state, batch, flows, tracks)
+
+        per_call = 1
+    elif trainer_cfg.steps_per_program > 1:
         chunk = make_train_chunk(
             train_step, min(trainer_cfg.steps_per_program, interval)
         )
