@@ -1,3 +1,3 @@
-from .correlation import global_correlation_expectation
+from .correlation import global_correlation_expectation, softmax_expectation
 
-__all__ = ["global_correlation_expectation"]
+__all__ = ["global_correlation_expectation", "softmax_expectation"]
