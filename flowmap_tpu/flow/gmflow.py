@@ -50,6 +50,11 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 def _conv(x, w, b=None, stride=1):
     # torch-style symmetric padding (k//2 on each side) — NOT XLA "SAME",
     # whose asymmetric padding misaligns strided convs with the checkpoint.
+    # Mixed dtypes can occur under the bf16 compute knob where an f32 value
+    # (e.g. the kernel-produced flow) re-enters a conv; promote the weights.
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
+        b = None if b is None else b.astype(x.dtype)
     k = w.shape[0]
     pad = k // 2
     y = jax.lax.conv_general_dilated(
@@ -299,14 +304,18 @@ def global_correlation_softmax(f0: Float[Array, "b h w c"], f1):
 
 def _flow_propagation(p, feature0: Float[Array, "b h w c"], flow):
     """Global self-attention with flow values (`transformer.py:294-345`,
-    including the q_proj/k_proj composition quirk preserved verbatim)."""
+    including the q_proj/k_proj composition quirk preserved verbatim).
+
+    Fused through the same softmax-expectation kernel as the global
+    correlation — the (L, L) attention scores never reach HBM."""
+    from ..ops.pallas import softmax_expectation
+
     b, h, w, c = feature0.shape
     query = feature0.reshape(b, h * w, c)
     query = query @ p["feature_flow_attn.q_proj.weight"] + p["feature_flow_attn.q_proj.bias"]
     key = query @ p["feature_flow_attn.k_proj.weight"] + p["feature_flow_attn.k_proj.bias"]
-    value = flow.reshape(b, h * w, 2)
-    scores = jnp.einsum("blc,bmc->blm", query, key) / (c**0.5)
-    out = jnp.einsum("blm,bmd->bld", jax.nn.softmax(scores, axis=-1), value)
+    value = flow.reshape(b, h * w, 2).astype(jnp.float32)
+    out = softmax_expectation(query, key, value)
     return out.reshape(b, h, w, 2)
 
 
@@ -351,18 +360,24 @@ def gmflow_forward(
     params: dict,
     img0: Float[Array, "b 3 h w"],
     img1: Float[Array, "b 3 h w"],
+    compute_dtype=jnp.float32,
 ) -> Float[Array, "b h w 2"]:
     """Predict forward flow in PIXELS at full resolution.
 
     Inputs are [0, 255] images (the flowmap wrapper passes videos * 255,
     `flow_predictor_gmflow.py:73-76`); h and w must be divisible by 16.
+
+    `compute_dtype=bfloat16` runs the frozen net MXU-native (params should be
+    pre-cast to match); the flow output is always float32. Matmul
+    accumulation stays f32 either way (TPU default / the fused correlation
+    kernel's explicit acc dtype), so bf16 only rounds activations.
     """
     mean = jnp.asarray(_IMAGENET_MEAN * 255.0)
     std = jnp.asarray(_IMAGENET_STD * 255.0)
     x0 = (jnp.transpose(img0, (0, 2, 3, 1)) - mean) / std
     x1 = (jnp.transpose(img1, (0, 2, 3, 1)) - mean) / std
 
-    both = jnp.concatenate([x0, x1], axis=0)
+    both = jnp.concatenate([x0, x1], axis=0).astype(compute_dtype)
     features = _encoder(params, both)
     b = img0.shape[0]
     f0, f1 = features[:b], features[b:]
@@ -372,7 +387,7 @@ def gmflow_forward(
 
     flow = global_correlation_softmax(f0, f1)
     flow = _flow_propagation(params, f0, jax.lax.stop_gradient(flow))
-    return _upsample_flow_convex(params, flow, f0)
+    return _upsample_flow_convex(params, flow, f0).astype(jnp.float32)
 
 
 class GMFlowPredictor:
@@ -383,20 +398,29 @@ class GMFlowPredictor:
     scores for all pairs at once would not fit HBM."""
 
     def __init__(self, cfg) -> None:
+        import functools
+
         checkpoint = getattr(cfg, "checkpoint", None)
         if checkpoint is not None:
             self.params = load_params(checkpoint)
         else:
             self.params = init_params(jax.random.PRNGKey(0))
         self.max_batch_size = getattr(cfg, "max_batch_size", 8)
-        self._forward = jax.jit(gmflow_forward)
+        dtype = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
+        if dtype != jnp.float32:
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype), self.params
+            )
+        self._forward = jax.jit(
+            functools.partial(gmflow_forward, compute_dtype=dtype)
+        )
 
     def __call__(self, videos: Float[Array, "b f 3 h w"]) -> Float[Array, "b p h w 2"]:
         b, f, c, h, w = videos.shape
         source = videos[:, :-1].reshape(b * (f - 1), c, h, w)
         target = videos[:, 1:].reshape(b * (f - 1), c, h, w)
         n = source.shape[0]
-        size = self.max_batch_size
+        size = min(self.max_batch_size, n)
         # Pad to a multiple of the chunk size so one compiled shape serves
         # every chunk.
         padded = -(-n // size) * size
@@ -404,12 +428,23 @@ class GMFlowPredictor:
             pad = padded - n
             source = jnp.concatenate([source, source[:pad]], axis=0)
             target = jnp.concatenate([target, target[:pad]], axis=0)
-        chunks = [
-            self._forward(self.params, source[i : i + size] * 255.0,
-                          target[i : i + size] * 255.0)
-            for i in range(0, padded, size)
-        ]
-        flow = jnp.concatenate(chunks, axis=0)[:n]
+        num_chunks = padded // size
+        if num_chunks == 1:
+            flow = self._forward(self.params, source * 255.0, target * 255.0)
+        else:
+            # lax.map: ONE compiled chunk program scanned sequentially —
+            # same HBM bound as the eager chunk loop, but the pretrain
+            # step's in-jit flow graph contains a single GMFlow body
+            # instead of num_chunks inlined copies (14x smaller graph /
+            # compile at the reference pretrain shape).
+            flow = jax.lax.map(
+                lambda st: self._forward(self.params, st[0] * 255.0, st[1] * 255.0),
+                (
+                    source.reshape(num_chunks, size, c, h, w),
+                    target.reshape(num_chunks, size, c, h, w),
+                ),
+            ).reshape(padded, h, w, 2)
+        flow = flow[:n]
         wh = jnp.asarray([w, h], videos.dtype)
         return (flow / wh).reshape(b, f - 1, h, w, 2)
 

@@ -38,6 +38,11 @@ class FlowPredictorGMFlowCfg:
     cache_path: Path = Path(".cache/gmflow_checkpoints")
     checkpoint: Optional[Path] = None  # converted gmflow_sintel weights
     max_batch_size: int = 8
+    # bfloat16 runs the frozen net MXU-native (activations rounded; matmul
+    # accumulation stays f32; flow output is f32 either way). The shipped
+    # pretrain config enables it (configs/pretrain.yaml); float32 remains
+    # the default for oracle-exact parity.
+    compute_dtype: Literal["float32", "bfloat16"] = "float32"
 
 
 @dataclass(frozen=True)

@@ -92,3 +92,33 @@ def test_identity_images_give_small_flow():
     flow = np.asarray(gmflow_forward(params, img, img))
     # Random weights: not exactly zero, but bounded by the image size.
     assert np.abs(flow).max() < 32
+
+
+def test_bfloat16_inference_close_to_f32():
+    """The pretrain-path bf16 knob (configs/pretrain.yaml) must produce flow
+    close to the f32 net: same graph, activations rounded to bf16, f32
+    output. Tolerance reflects bf16's ~3 significant digits accumulated
+    through the 6-layer transformer."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flowmap_tpu.flow.gmflow import GMFlowPredictor
+    from flowmap_tpu.flow.predictors import FlowPredictorGMFlowCfg
+
+    rng = np.random.default_rng(0)
+    videos = jnp.asarray(rng.uniform(size=(1, 3, 3, 32, 48)).astype(np.float32))
+
+    flow32 = GMFlowPredictor(FlowPredictorGMFlowCfg())(videos)
+    flow16 = GMFlowPredictor(
+        FlowPredictorGMFlowCfg(compute_dtype="bfloat16")
+    )(videos)
+    assert flow16.dtype == jnp.float32
+    # With RANDOM weights the near-uniform attention softmaxes amplify bf16
+    # rounding (a trained net's peaked distributions are far less
+    # sensitive), so the bound is statistical: strong correlation + small
+    # mean deviation relative to the flow scale.
+    scale = float(jnp.max(jnp.abs(flow32))) + 1e-6
+    mean_rel = float(jnp.mean(jnp.abs(flow16 - flow32))) / scale
+    corr = float(jnp.corrcoef(flow32.ravel(), flow16.ravel())[0, 1])
+    assert mean_rel < 0.1, mean_rel
+    assert corr > 0.9, corr
