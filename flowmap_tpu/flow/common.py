@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
@@ -51,8 +52,17 @@ def compute_consistency_mask(
 
     source_xy, _ = sample_image_grid((h, w), dtype=videos.dtype)
     target_xy = source_xy + flow.reshape(b * (f - 1), h, w, 2)
-    target_pixels = grid_sample_2d(
-        target, target_xy * 2.0 - 1.0, padding_mode="zeros"
+    # Dense unbounded warp: the one-hot MXU kernel (ops/pallas/dense_warp.py)
+    # — TPU gathers of c=3 rows are serial-unit-bound (measured 1.4 s/step
+    # at the pretrain shape, 61% of the step; round-5 log). Forward-only is
+    # fine: the mask is supervision, always consumed under stop_gradient.
+    from ..ops.pallas.dense_warp import dense_warp_bilinear
+
+    pixel_xy = jax.lax.stop_gradient(
+        target_xy * jnp.asarray([w, h], target_xy.dtype) - 0.5
+    )
+    target_pixels = dense_warp_bilinear(
+        jax.lax.stop_gradient(target), pixel_xy, "zeros"
     )
     deltas = jnp.max(jnp.abs(source - target_pixels), axis=1)
     return ((1.0 - deltas) ** 8).reshape(b, f - 1, h, w)
