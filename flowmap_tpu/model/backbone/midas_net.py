@@ -61,6 +61,13 @@ def _conv_init(key, cin: int, cout: int, k: int, groups: int = 1, bias: bool = T
 def _conv(params, x, stride: int = 1, groups: int = 1, padding="SAME"):
     # NB 1x1 convs as explicit dots were measured ~10 ms/step SLOWER at
     # reference scale (XLA's conv fusions + layouts beat the dot lowering).
+    # NB stride-2 depthwise with a parity-shift dx backward (_dw_conv_s2
+    # below) measured 120.6 vs 108.2 ms/step at reference scale — a 12 ms
+    # REGRESSION despite the replaced fusions sitting at ~3x their
+    # bandwidth envelopes (docs/PERF_R5.md): the custom_vjp boundary breaks
+    # XLA's kOutput fusion of the surrounding elementwise work and the
+    # pad/slice/interleave chain defeats the one-pass output loop. Kept
+    # (exact, tested) as a recorded negative result; not routed.
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"],
@@ -72,6 +79,116 @@ def _conv(params, x, stride: int = 1, groups: int = 1, padding="SAME"):
     if "bias" in params:
         y = y + params["bias"]
     return y
+
+
+def _same_pad_s2(size: int, k: int) -> tuple[int, int]:
+    """XLA SAME padding for stride 2 (even `size`): lo = total//2."""
+    total = max((size // 2 - 1) * 2 + k - size, 0)
+    return total // 2, total - total // 2
+
+
+@jax.custom_vjp
+def _dw_conv_s2(x, kernel):
+    """Depthwise conv, stride 2, SAME, even input dims. Forward is the
+    plain XLA depthwise conv; dx backward is the parity-shift formulation
+    (each input parity field receives a fixed <= ceil(k/2)^2 tap subset of
+    the output cotangent at unit shifts — pure fused elementwise work
+    instead of XLA's lhs-dilated grouped transposed conv)."""
+    k = kernel.shape[0]
+    h, w = x.shape[1], x.shape[2]
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(2, 2),
+        padding=(_same_pad_s2(h, k), _same_pad_s2(w, k)),
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _dw_conv_s2_fwd(x, kernel):
+    return _dw_conv_s2(x, kernel), (x, kernel)
+
+
+def _dw_conv_s2_bwd(residual, dy):
+    x, kernel = residual
+    k = kernel.shape[0]
+    n, h, w, c = x.shape
+    oh, ow = h // 2, w // 2
+    pl_h, _ = _same_pad_s2(h, k)
+    pl_w, _ = _same_pad_s2(w, k)
+    wk = kernel[:, :, 0, :]  # (k, k, c)
+
+    # dx[2m+qa, 2j+qb] = sum_{ki,kj valid for (qa,qb)} w[ki,kj] *
+    #                    dy[m + s(qa,ki), j + s(qb,kj)]
+    # with s = (q + pad_lo - k_idx) / 2 (integral iff parity matches).
+    shifts: dict[int, list[tuple[int, int]]] = {0: [], 1: []}
+    for q in (0, 1):
+        for ki in range(k):
+            num = q + pl_h - ki  # same for w with pl_w (k square, pads equal
+            if num % 2 == 0:     # only when h,w pads coincide — guarded below)
+                shifts[q].append((ki, num // 2))
+
+    def tap_field(s_i, s_j, tap):
+        """w[tap] * dy[m + s_i, j + s_j], zero outside the output."""
+        pad_i = (max(-s_i, 0), max(s_i, 0))
+        pad_j = (max(-s_j, 0), max(s_j, 0))
+        dyp = jnp.pad(dy, ((0, 0), pad_i, pad_j, (0, 0)))
+        sl_i = slice(max(s_i, 0), max(s_i, 0) + oh)
+        sl_j = slice(max(s_j, 0), max(s_j, 0) + ow)
+        return dyp[:, sl_i, sl_j, :] * tap
+
+    # Row/col parities may have different pad_lo when h and w pads differ
+    # (k=5 on non-square inputs keeps pl identical as long as both dims are
+    # even — SAME total depends only on k for stride 2 and even size).
+    shifts_w: dict[int, list[tuple[int, int]]] = {0: [], 1: []}
+    for q in (0, 1):
+        for kj in range(k):
+            num = q + pl_w - kj
+            if num % 2 == 0:
+                shifts_w[q].append((kj, num // 2))
+
+    fields = {}
+    for qa in (0, 1):
+        for qb in (0, 1):
+            acc = None
+            for ki, s_i in shifts[qa]:
+                for kj, s_j in shifts_w[qb]:
+                    t = tap_field(s_i, s_j, wk[ki, kj])
+                    acc = t if acc is None else acc + t
+            fields[(qa, qb)] = (
+                acc
+                if acc is not None
+                else jnp.zeros((n, oh, ow, c), dy.dtype)
+            )
+
+    # Interleave the four parity fields back to (n, h, w, c).
+    rows = [
+        jnp.stack([fields[(qa, 0)], fields[(qa, 1)]], axis=3).reshape(
+            n, oh, w, c
+        )
+        for qa in (0, 1)
+    ]
+    dx = jnp.stack(rows, axis=2).reshape(n, h, w, c)
+
+    # Weight grad: keep XLA's transposed reduction (at ~2x envelope it is
+    # not the prize; the dx path at 3.4x was).
+    _, pull = jax.vjp(
+        lambda kern: jax.lax.conv_general_dilated(
+            x,
+            kern,
+            window_strides=(2, 2),
+            padding=(_same_pad_s2(h, k), _same_pad_s2(w, k)),
+            feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        kernel,
+    )
+    (dkernel,) = pull(dy)
+    return dx, dkernel
+
+
+_dw_conv_s2.defvjp(_dw_conv_s2_fwd, _dw_conv_s2_bwd)
 
 
 def _bn_init(c: int):
