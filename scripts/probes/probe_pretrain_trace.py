@@ -1,12 +1,11 @@
-"""Pretrain-path throughput probe (VERDICT r3 #9): steps/s of the jitted
-pretrain step at the reference budget shape — batch 16 x 8 frames at 150x200
-model resolution with GMFlow computed ON-THE-FLY inside the step
-(`config/pretrain.yaml`, `flowmap/model_wrapper_pretrain.py:46-58`).
-
-Random GMFlow weights (checkpoints unreachable offline) run the identical
-compute graph. Prints one JSON line for BASELINE.md.
-"""
+"""Device-trace the pretrain step at the reference budget shape and
+summarize by HLO category + source (the pretrain analogue of probe_trace.py;
+feeds the round-5 pretrain decomposition in BASELINE.md)."""
+import collections
+import glob
+import gzip
 import json
+import os
 import sys
 import time
 
@@ -36,25 +35,20 @@ from flowmap_tpu.training.pretrain import (
 from flowmap_tpu.types import Batch
 
 B, F = 16, 8
-H, W = 128, 192  # reference targets 150x200, then patch-crops to /32
-# multiples (flowmap/misc/cropping.py:36-37) -> the model actually sees 128x192
-HF, WF = 288, 400  # flow at 2x (flow_scale_multiplier x patch rounding)
+H, W = 128, 192
+HF, WF = 288, 400
 
 rng = np.random.default_rng(0)
 videos = jnp.asarray(rng.uniform(size=(B, F, 3, H, W)).astype(np.float32))
-videos_flow = jnp.asarray(
-    rng.uniform(size=(B, F, 3, HF, WF)).astype(np.float32)
-)
+videos_flow = jnp.asarray(rng.uniform(size=(B, F, 3, HF, WF)).astype(np.float32))
 batch = Batch(videos=videos, indices=jnp.tile(jnp.arange(F)[None], (B, 1)))
 batch_flow = Batch(videos=videos_flow, indices=batch.indices)
-
-import os
 
 _DTYPE = os.environ.get("PRETRAIN_PROBE_DTYPE", "bfloat16")
 _CHUNK = int(os.environ.get("PRETRAIN_PROBE_CHUNK", "8"))
 predictor = GMFlowPredictor(
     FlowPredictorGMFlowCfg(compute_dtype=_DTYPE, max_batch_size=_CHUNK)
-)  # random weights
+)
 
 
 def flow_fn(batch_for_flow, model_shape):
@@ -68,8 +62,7 @@ model_cfg = ModelCfg(
     ),
     extrinsics=ExtrinsicsProcrustesCfg(num_points=1000),
 )
-trainer_cfg = PretrainTrainerCfg(lr=5e-5)
-state, optimizer = init_pretrain_state(model_cfg, trainer_cfg)
+state, optimizer = init_pretrain_state(model_cfg, PretrainTrainerCfg(lr=5e-5))
 step = jax.jit(
     make_pretrain_step(
         model_cfg, [LossFlowCfg()], optimizer, flow_fn, jax.random.PRNGKey(1)
@@ -78,22 +71,39 @@ step = jax.jit(
 )
 
 t0 = time.time()
-for _ in range(3):
+for _ in range(2):
     state, metrics = step(state, batch, batch_flow)
-print(f"# warmup {time.time() - t0:.0f}s loss={float(metrics['loss/total']):.4f}",
+print(f"# warmup {time.time() - t0:.0f}s loss={float(metrics['loss/total']):.2f}",
       file=sys.stderr, flush=True)
 
-n = 10
-t0 = time.time()
-for _ in range(n):
-    state, metrics = step(state, batch, batch_flow)
-float(metrics["loss/total"])
-dt = (time.time() - t0) / n
-print(json.dumps({
-    "metric": "pretrain_steps_per_sec",
-    "value": round(1.0 / dt, 3),
-    "unit": "steps/s",
-    "batch": [B, F],
-    "image_shape": [H, W],
-    "flow": f"gmflow-in-step-{_DTYPE}-chunk{_CHUNK}",
-}))
+n_steps = 2
+with jax.profiler.trace("/tmp/jax_trace_pretrain"):
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, batch_flow)
+    float(metrics["loss/total"])
+
+path = sorted(glob.glob("/tmp/jax_trace_pretrain/plugins/profile/*/*.trace.json.gz"))[-1]
+with gzip.open(path) as f:
+    data = json.load(f)
+by_src, by_cat, by_name = collections.Counter(), collections.Counter(), collections.Counter()
+meta = {}
+for e in data["traceEvents"]:
+    if e.get("ph") != "X" or e.get("pid") != 3 or e.get("tid") != 3:
+        continue
+    d = e.get("dur", 0.0)
+    args = e.get("args", {})
+    by_src[args.get("source", "?")] += d
+    by_cat[args.get("hlo_category", "?")] += d
+    by_name[e["name"]] += d
+    meta[e["name"]] = (args.get("source", "?"), args.get("tf_op", "")[:100])
+total = sum(by_cat.values())
+print(f"total device: {total / n_steps / 1000:.1f} ms/step\n== by category ==")
+for c, d in by_cat.most_common(12):
+    print(f"{d / n_steps / 1000:9.2f} ms  {c}")
+print("\n== by source ==")
+for s, d in by_src.most_common(30):
+    print(f"{d / n_steps / 1000:9.2f} ms  {s.replace('/root/repo/flowmap_tpu/', '')}")
+print("\n== by op ==")
+for name, d in by_name.most_common(30):
+    src, tf = meta[name]
+    print(f"{d / n_steps / 1000:9.2f} ms  {name:30s} {src.replace('/root/repo/flowmap_tpu/', ''):40s} {tf}")
