@@ -44,6 +44,9 @@ class TrainerCfg:
     # see training/overfit.py OverfitTrainerCfg.
     sharding: Literal["auto", "none"] = "auto"
     collectives: Literal["gspmd", "explicit"] = "gspmd"
+    # Round scene frame counts up to a multiple so one compiled step serves
+    # a whole dataset sweep (exact — see utils/buckets.py). None/1 = off.
+    frame_bucket: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -737,12 +737,16 @@ class MidasSmall:
         # f32 on real TPU falls back to XLA: the backward's f32 working set
         # exceeds VMEM (bf16 fits; interpret mode has no limit and is the
         # exact-parity CI path).
+        import os
+
         if (
             _prt.kernels_enabled()
             and (_prt.interpret_mode() or path1.dtype == jnp.bfloat16)
             and path1.shape[3] == 64
             and 3 <= ww <= 126
             and hh >= 3
+            # A/B escape hatch (perf probes): force the XLA parity head.
+            and os.environ.get("FLOWMAP_HEAD") != "xla"
         ):
             y = _head_fused(features, path1, h, w3, b3)
         else:

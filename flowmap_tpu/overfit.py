@@ -107,10 +107,47 @@ def overfit(cfg: OverfitCfg) -> dict:
     )
     optimization_start = time.time()
 
+    # Shape-bucketed padding: one compiled step per bucket across a scene
+    # sweep (exact — utils/buckets.py). The real-frame views keep feeding
+    # visualization/export.
+    batch_real, flows_real = batch, flows
+    if cfg.trainer.frame_bucket and cfg.trainer.frame_bucket > 1:
+        from .types import tree_slice_frames
+        from .utils.buckets import pad_scene_to_bucket
+
+        batch, flows, f_real = pad_scene_to_bucket(
+            batch, flows, cfg.trainer.frame_bucket
+        )
+        if batch.videos.shape[1] != f_real:
+            print(
+                f"Frame bucket: padded {f_real} -> {batch.videos.shape[1]} "
+                f"frames (multiple of {cfg.trainer.frame_bucket})."
+            )
+    else:
+        f_real = f
+
+    def _slice_output(output):
+        if batch.videos.shape[1] == f_real:
+            return output
+        import jax.tree_util
+
+        f_padded = batch.videos.shape[1]
+
+        def cut(x):
+            # Frame-indexed leaves slice to f_real; pair-indexed (f-1)
+            # leaves (correspondence weights) to f_real - 1.
+            if x.ndim >= 2 and x.shape[1] == f_padded:
+                return x[:, :f_real]
+            if x.ndim >= 2 and x.shape[1] == f_padded - 1:
+                return x[:, : f_real - 1]
+            return x
+
+        return jax.tree_util.tree_map(cut, output)
+
     def on_validation(state, step, metrics):
-        output = eval_forward(cfg.model, state, batch, flows)
+        output = _slice_output(eval_forward(cfg.model, state, batch, flows))
         visuals = run_visualizers(
-            cfg.visualizer, batch, flows, tracks, output, step
+            cfg.visualizer, batch_real, flows_real, tracks, output, step
         )
         scalars = dict(metrics)
         for key, value in visuals.items():
@@ -137,11 +174,11 @@ def overfit(cfg: OverfitCfg) -> dict:
     optimization_runtime = time.time() - optimization_start
 
     # Export (reference: overfit.py:117-147).
-    output = eval_forward(cfg.model, state, batch, flows)
+    output = _slice_output(eval_forward(cfg.model, state, batch, flows))
     exports = ModelExports(
         extrinsics=output.extrinsics,
         intrinsics=output.intrinsics,
-        colors=batch.videos,
+        colors=batch_real.videos,
         depths=output.depths,
     )
     colmap_dir = Path(cfg.output_dir) / "colmap"

@@ -1,0 +1,84 @@
+"""Frame-count bucketing: pad scenes to shared shapes so one compiled step
+serves a whole dataset sweep (VERDICT r4 item 10 / ROADMAP r5 item 4).
+
+XLA compiles one program per distinct (f, h, w); a per-scene sweep (the
+reference's `scripts/run_flowmap.sh` loop) recompiles for every frame
+count. Spatial dims already collapse to a handful of shapes via the
+patch-size cropping (`utils/cropping.py`); the frame axis is the one that
+varies per scene. Padding it is EXACT for the optimization because every
+loss is a globally mask-normalized sum (`loss/loss.py`):
+
+- videos pad by repeating the final frame — the padded pairs are
+  identity-motion pairs, so the Procrustes solves stay well-conditioned
+  (zero-motion alignment of identical point sets; no NaNs to poison the
+  masked-out terms);
+- flows pad with zeros and ZERO masks — padded pairs contribute exactly
+  nothing to the flow loss or its gradient;
+- packed tracks are built against the real frame count (no segment touches
+  a padded frame), so the tracking loss is untouched;
+- the pose chain's padded tail never feeds an unmasked term; exports and
+  visualization slice back to the real frame count
+  (`types.tree_slice_frames`).
+
+The padded frames do cost backbone compute (that is the trade: ≤
+`multiple-1` extra frames of forward/backward vs a multi-minute recompile
+per scene through this environment's compile tunnel).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..types import Batch, Flows
+
+
+def bucket_frames(num_frames: int, multiple: int) -> int:
+    """Round up to the bucket boundary (identity for multiple <= 1)."""
+    if multiple is None or multiple <= 1:
+        return num_frames
+    return -(-num_frames // multiple) * multiple
+
+
+def pad_scene_to_bucket(
+    batch: Batch, flows: Flows, multiple: int
+) -> tuple[Batch, Flows, int]:
+    """Pad (batch, flows) along the frame axis to the bucket boundary.
+
+    Returns (padded_batch, padded_flows, real_frame_count). Exact w.r.t.
+    the unpadded optimization (module docstring); callers slice outputs
+    back with `tree_slice_frames(x, 0, real_frame_count)`.
+    """
+    f = batch.videos.shape[1]
+    target = bucket_frames(f, multiple)
+    if target == f:
+        return batch, flows, f
+    pad = target - f
+
+    def repeat_last(x):
+        if x is None:
+            return None
+        reps = jnp.repeat(x[:, -1:], pad, axis=1)
+        return jnp.concatenate([x, reps], axis=1)
+
+    def zeros_pairs(x):
+        if x is None:
+            return None
+        shape = list(x.shape)
+        shape[1] = pad
+        return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis=1)
+
+    padded_batch = Batch(
+        videos=repeat_last(batch.videos),
+        indices=repeat_last(batch.indices),
+        extrinsics=repeat_last(batch.extrinsics),
+        intrinsics=repeat_last(batch.intrinsics),
+        scenes=batch.scenes,
+        datasets=batch.datasets,
+    )
+    padded_flows = Flows(
+        forward=zeros_pairs(flows.forward),
+        backward=zeros_pairs(flows.backward),
+        forward_mask=zeros_pairs(flows.forward_mask),
+        backward_mask=zeros_pairs(flows.backward_mask),
+    )
+    return padded_batch, padded_flows, f
