@@ -34,6 +34,8 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=224)
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--collectives", default="gspmd",
+                        choices=["gspmd", "explicit"])
     args = parser.parse_args()
 
     max_dev = max(args.devices)
@@ -119,7 +121,9 @@ def main() -> None:
             staged_vjp=trainer_cfg.staged_vjp,
         )
         mesh = make_mesh(n_data=1, n_frame=n)
-        sharded = make_sharded_train_step(step, mesh, state, batch)
+        sharded = make_sharded_train_step(
+            step, mesh, state, batch, collectives=args.collectives
+        )
         b_s, f_s = shard_batch(batch, mesh), shard_flows(flows, mesh)
         for _ in range(args.warmup):
             state, metrics = sharded(state, b_s, f_s, tracks)
@@ -137,6 +141,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "multichip_frames_per_sec",
+                "collectives": args.collectives,
                 "value": results,
                 "unit": "frames/s",
                 "platform": platform,

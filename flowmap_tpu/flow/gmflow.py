@@ -416,20 +416,39 @@ class GMFlowPredictor:
         )
 
     def __call__(self, videos: Float[Array, "b f 3 h w"]) -> Float[Array, "b p h w 2"]:
+        import jax.core
+
         b, f, c, h, w = videos.shape
         source = videos[:, :-1].reshape(b * (f - 1), c, h, w)
         target = videos[:, 1:].reshape(b * (f - 1), c, h, w)
         n = source.shape[0]
-        size = min(self.max_batch_size, n)
+        traced = isinstance(videos, jax.core.Tracer)
+        # Eager precompute keeps the FIXED chunk size: one compiled
+        # (max_batch_size, ...) program serves every scene of a sweep
+        # regardless of frame count. Inside a jit trace (pretrain's in-step
+        # flow) the shape is fixed per trace anyway, so a smaller final
+        # size just avoids padding work.
+        size = min(self.max_batch_size, n) if traced else self.max_batch_size
         # Pad to a multiple of the chunk size so one compiled shape serves
         # every chunk.
         padded = -(-n // size) * size
         if padded != n:
             pad = padded - n
-            source = jnp.concatenate([source, source[:pad]], axis=0)
-            target = jnp.concatenate([target, target[:pad]], axis=0)
+            reps = -(-pad // n)
+            tile = jnp.concatenate([source] * reps, axis=0)[:pad]
+            source = jnp.concatenate([source, tile], axis=0)
+            tile_t = jnp.concatenate([target] * reps, axis=0)[:pad]
+            target = jnp.concatenate([target, tile_t], axis=0)
         num_chunks = padded // size
-        if num_chunks == 1:
+        if not traced:
+            # Eager chunk loop: reuses the single jitted chunk program.
+            chunks = [
+                self._forward(self.params, source[i : i + size] * 255.0,
+                              target[i : i + size] * 255.0)
+                for i in range(0, padded, size)
+            ]
+            flow = jnp.concatenate(chunks, axis=0)
+        elif num_chunks == 1:
             flow = self._forward(self.params, source * 255.0, target * 255.0)
         else:
             # lax.map: ONE compiled chunk program scanned sequentially —

@@ -111,20 +111,30 @@ def overfit(cfg: OverfitCfg) -> dict:
     # sweep (exact — utils/buckets.py). The real-frame views keep feeding
     # visualization/export.
     batch_real, flows_real = batch, flows
+    f_real = f
     if cfg.trainer.frame_bucket and cfg.trainer.frame_bucket > 1:
-        from .types import tree_slice_frames
-        from .utils.buckets import pad_scene_to_bucket
-
-        batch, flows, f_real = pad_scene_to_bucket(
-            batch, flows, cfg.trainer.frame_bucket
-        )
-        if batch.videos.shape[1] != f_real:
+        if getattr(cfg.model.backbone, "bn", None) == "batch":
+            # Batch-statistics BN averages over the frame axis — padded
+            # duplicate frames would shift every layer's statistics, so the
+            # padding is NOT exact for this one configuration. Refusing is
+            # better than a silent trajectory change.
             print(
-                f"Frame bucket: padded {f_real} -> {batch.videos.shape[1]} "
-                f"frames (multiple of {cfg.trainer.frame_bucket})."
+                "Frame bucket DISABLED: model.backbone.bn=batch folds the "
+                "padded frames into the BatchNorm statistics (padding is "
+                "only exact for folded-BN / BN-free backbones)."
             )
-    else:
-        f_real = f
+        else:
+            from .utils.buckets import pad_scene_to_bucket
+
+            batch, flows, f_real = pad_scene_to_bucket(
+                batch, flows, cfg.trainer.frame_bucket
+            )
+            if batch.videos.shape[1] != f_real:
+                print(
+                    f"Frame bucket: padded {f_real} -> "
+                    f"{batch.videos.shape[1]} frames (multiple of "
+                    f"{cfg.trainer.frame_bucket})."
+                )
 
     def _slice_output(output):
         if batch.videos.shape[1] == f_real:

@@ -638,6 +638,13 @@ def run_overfit(
             shard_flows,
         )
 
+        if trainer_cfg.steps_per_program > 1:
+            # The sharded path dispatches per step (scan-chunking measured a
+            # 55 ms/step regression even single-device — docs/PERF_R5.md).
+            print(
+                "Note: trainer.steps_per_program is ignored under frame "
+                "sharding (per-step dispatch; see docs/PERF_R5.md)."
+            )
         mesh = make_mesh(n_data=1, n_frame=n_devices)
         step_fn = make_sharded_train_step(
             train_step, mesh, state, batch, collectives=trainer_cfg.collectives

@@ -17,8 +17,15 @@ loss is a globally mask-normalized sum (`loss/loss.py`):
 - packed tracks are built against the real frame count (no segment touches
   a padded frame), so the tracking loss is untouched;
 - the pose chain's padded tail never feeds an unmasked term; exports and
-  visualization slice back to the real frame count
-  (`types.tree_slice_frames`).
+  visualization slice back to the real frame count (frame-indexed leaves
+  to f_real, pair-indexed (f-1) leaves to f_real-1 — see
+  `overfit._slice_output`).
+
+One exception: batch-statistics BN (`model.backbone.bn=batch`, the
+from-scratch ablation) averages over the frame axis, so padded duplicate
+frames would shift every layer's statistics — the overfit CLI refuses to
+pad in that configuration. Folded-BN (the shipped pretrained path) and
+BN-free backbones are exact.
 
 The padded frames do cost backbone compute (that is the trade: ≤
 `multiple-1` extra frames of forward/backward vs a multi-minute recompile
@@ -46,7 +53,8 @@ def pad_scene_to_bucket(
 
     Returns (padded_batch, padded_flows, real_frame_count). Exact w.r.t.
     the unpadded optimization (module docstring); callers slice outputs
-    back with `tree_slice_frames(x, 0, real_frame_count)`.
+    back (frame leaves to real_frame_count, pair leaves to
+    real_frame_count - 1; see `overfit._slice_output`).
     """
     f = batch.videos.shape[1]
     target = bucket_frames(f, multiple)

@@ -155,3 +155,55 @@ def test_overfit_cli_bucketing(tmp_path):
     _, _, names = read_colmap_model(out_dir / "colmap/sparse/0")
     assert len(names) == f
     assert np.isfinite(result["info"]["history"]["loss/total"]).all()
+
+
+def test_bucket_refused_for_batch_bn(tmp_path, capsys):
+    """model.backbone.bn=batch + frame_bucket must refuse to pad (padding
+    is not exact through batch statistics) rather than silently change the
+    trajectory."""
+    from PIL import Image
+
+    from flowmap_tpu.config import OverfitCfg, compose_config
+    from flowmap_tpu.overfit import overfit
+
+    f, (h, w) = 5, (32, 64)
+    batch, flows, _ = make_scene(SyntheticSceneCfg(num_frames=f, image_shape=(h, w)))
+    images_dir = tmp_path / "images"
+    images_dir.mkdir()
+    from flowmap_tpu.flow.predictors import save_flows
+
+    for i, frame in enumerate(np.asarray(batch.videos[0])):
+        arr = (frame.transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(images_dir / f"{i:0>6}.png")
+    save_flows(tmp_path / "flows.npz", flows)
+
+    cfg = compose_config(
+        "overfit",
+        OverfitCfg,
+        [
+            f"dataset.images.root={images_dir}",
+            "flow=precomputed",
+            f"flow.path={tmp_path}/flows.npz",
+            "model.backbone.pretrained=false",
+            "model.backbone.mapping=exp",
+            "model.backbone.bn=batch",
+            "model.intrinsics.num_procrustes_points=256",
+            "model.intrinsics.num_candidates=6",
+            "model.extrinsics.num_points=64",
+            "loss=[flow]",
+            "trainer.max_steps=2",
+            "trainer.val_check_interval=2",
+            "trainer.frame_bucket=8",
+            "cropping.image_shape=[32,64]",
+            "cropping.patch_size=32",
+            "cropping.flow_scale_multiplier=1",
+            f"output_dir={tmp_path}/out",
+        ],
+    )
+    result = overfit(cfg)
+    out = capsys.readouterr().out
+    assert "Frame bucket DISABLED" in out
+    # Ran unpadded at the real frame count.
+    assert np.asarray(result["state"].params["backbone"]["midas"]).size or True
+    exports = np.load(tmp_path / "out/exports.npz")
+    assert exports["depths"].shape[1] == f
