@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jaxtyping import Array, Float
 
-from .grid_sample import grid_sample_2d
 
 
 def _upsample_axis_int(x: Float[Array, "n c h w"], s: int, axis: int):
@@ -95,11 +94,28 @@ def resize_bilinear(
         if w // wo > 1:
             out = _downsample_axis_int(out, w // wo, 3)
         return out
-    # Output pixel centers in normalized [-1, 1] grid_sample coordinates: the
-    # half-pixel-centered source coordinate (d + 0.5) * in/out - 0.5 maps to
-    # grid value (2 * src + 1) / in - 1 = (2d + 1) / out - 1.
-    gx = (2.0 * jnp.arange(wo, dtype=images.dtype) + 1.0) / wo - 1.0
-    gy = (2.0 * jnp.arange(ho, dtype=images.dtype) + 1.0) / ho - 1.0
-    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (ho, wo, 2)
-    grid = jnp.broadcast_to(grid[None], (n, ho, wo, 2))
-    return grid_sample_2d(images, grid, padding_mode="border")
+    # General (non-integer-factor) path: bilinear resize is SEPARABLE with
+    # per-axis coordinates shared by every image, so it is two small one-hot
+    # matmuls — (ho, h) and (wo, w) pair-weight matrices contracted on the
+    # MXU. The previous coordinate-gather formulation cost 516 ms/step in
+    # the pretrain trace (flow/mask rescale 288x400 -> 128x192; TPU gathers
+    # of short rows are serial-unit-bound — docs/PERF_R5.md); the matmul
+    # form is a rounding error by comparison and its backward is the
+    # transposed matmul instead of a scatter-add. HIGHEST precision keeps
+    # the f32 weights exact (this image's default rounds matmul inputs to
+    # bf16 — docs/MOSAIC_NOTES.md).
+    import jax
+
+    from .grid_sample import bilinear_onehot_weights
+
+    src_y = (jnp.arange(ho, dtype=jnp.float32) + 0.5) * (h / ho) - 0.5
+    src_x = (jnp.arange(wo, dtype=jnp.float32) + 0.5) * (w / wo) - 0.5
+    wy = bilinear_onehot_weights(src_y[None], h, "border", images.dtype)[0]
+    wx = bilinear_onehot_weights(src_x[None], w, "border", images.dtype)[0]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if images.dtype == jnp.float32
+        else None
+    )
+    rows = jnp.einsum("oy,ncyx->ncox", wy, images, precision=precision)
+    return jnp.einsum("px,ncox->ncop", wx, rows, precision=precision)
