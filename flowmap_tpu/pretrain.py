@@ -198,6 +198,9 @@ def pretrain(cfg: PretrainCfg) -> None:
 
             save_checkpoint(checkpoint_dir, state, step_index + 1)
 
+    from .training.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async saves must commit before we report done
     print(f"Pretraining done in {time.time() - start:.1f}s -> {cfg.output_dir}")
 
 

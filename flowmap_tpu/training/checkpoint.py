@@ -9,24 +9,51 @@ async-capable, sharding-aware checkpoints — the TPU-native equivalent.
 
 from __future__ import annotations
 
+import atexit
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
 
+# Async writer for the periodic in-training checkpoints: the device→host
+# fetch happens at save() time but serialization/IO runs on a background
+# thread, so the train loop resumes immediately instead of stalling for
+# the write (a full pretrain state is ~250 MB). Orbax guarantees atomicity
+# (the step dir is renamed into place only when complete).
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
 
-def save_checkpoint(path: Path, state: Any, step: int) -> None:
-    """Write a full train-state checkpoint at `path`/<step>."""
+
+def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(wait_for_checkpoints)
+    return _async_ckptr
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every pending async checkpoint write has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save_checkpoint(path: Path, state: Any, step: int, block: bool = False) -> None:
+    """Write a full train-state checkpoint at `path`/<step> (async by
+    default — call `wait_for_checkpoints()` or pass block=True to ensure
+    durability; training loops call it at the end of the run)."""
     path = Path(path).resolve()
     path.mkdir(parents=True, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / f"{step}", state)
+    ckptr = _get_async_checkpointer()
+    ckptr.save(path / f"{step}", args=ocp.args.StandardSave(state), force=True)
+    if block:
+        ckptr.wait_until_finished()
 
 
 def restore_checkpoint(path: Path, target: Any) -> Any:
     """Restore a full train state saved by `save_checkpoint` (exact step dir
     or a checkpoint root, in which case the latest step is used)."""
+    wait_for_checkpoints()  # a just-written step must be visible
     path = Path(path).resolve()
     if path.is_dir() and not (path / "_CHECKPOINT_METADATA").exists():
         steps = sorted(

@@ -184,4 +184,10 @@ def run_pretrain(
 
             save_checkpoint(checkpoint_dir, state, step_index + 1)
 
+    if checkpoint_dir is not None:
+        # Async writes (training/checkpoint.py) must commit before the run
+        # is reported complete.
+        from .checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
     return state, {"history": history, "runtime": time.time() - t_start}

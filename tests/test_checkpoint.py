@@ -63,3 +63,43 @@ def test_params_only_roundtrip(tmp_path):
         np.asarray(loaded["backbone"]["weights"]),
         np.asarray(state.params["backbone"]["weights"]),
     )
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint is async: the call returns before the write commits,
+    wait_for_checkpoints() makes it durable, and restore sees the data
+    (restore itself waits for pending writes)."""
+    import jax.numpy as jnp
+
+    from flowmap_tpu.training.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    state = {
+        "params": {"w": jnp.arange(12.0).reshape(3, 4)},
+        "step": jnp.asarray(7),
+    }
+    save_checkpoint(tmp_path / "ckpt", state, 7)
+    # No explicit wait: restore must block on the pending async write.
+    restored = restore_checkpoint(
+        tmp_path / "ckpt",
+        {"params": {"w": jnp.zeros((3, 4))}, "step": jnp.asarray(0)},
+    )
+    assert float(restored["step"]) == 7
+    assert float(restored["params"]["w"][2, 3]) == 11.0
+
+    # Overlapping saves from one run commit in order and both survive.
+    save_checkpoint(tmp_path / "ckpt", state, 8)
+    save_checkpoint(
+        tmp_path / "ckpt",
+        {"params": {"w": jnp.ones((3, 4))}, "step": jnp.asarray(9)},
+        9,
+    )
+    wait_for_checkpoints()
+    latest = restore_checkpoint(
+        tmp_path / "ckpt",
+        {"params": {"w": jnp.zeros((3, 4))}, "step": jnp.asarray(0)},
+    )
+    assert float(latest["step"]) == 9
