@@ -149,7 +149,10 @@ def bilinear_onehot_weights(
     idx = jnp.arange(size, dtype=jnp.int32)
     w0 = (idx == c0i[..., None]).astype(dtype)
     w1 = (idx == c1i[..., None]).astype(dtype)
-    return w0 * (1.0 - t) + w1 * t
+    # Interpolate in the coords dtype (full-precision t), then honor the
+    # REQUESTED dtype: without the cast, f32 coords silently promote the
+    # result to f32 even when the caller asked for bf16 weights.
+    return (w0 * (1.0 - t) + w1 * t).astype(dtype)
 
 
 def grid_sample_points(

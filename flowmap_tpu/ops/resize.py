@@ -110,8 +110,8 @@ def resize_bilinear(
 
     src_y = (jnp.arange(ho, dtype=jnp.float32) + 0.5) * (h / ho) - 0.5
     src_x = (jnp.arange(wo, dtype=jnp.float32) + 0.5) * (w / wo) - 0.5
-    wy = bilinear_onehot_weights(src_y[None], h, "border", images.dtype)[0]
-    wx = bilinear_onehot_weights(src_x[None], w, "border", images.dtype)[0]
+    wy = bilinear_onehot_weights(src_y, h, "border", images.dtype)
+    wx = bilinear_onehot_weights(src_x, w, "border", images.dtype)
     precision = (
         jax.lax.Precision.HIGHEST
         if images.dtype == jnp.float32

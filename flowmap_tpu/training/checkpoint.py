@@ -24,11 +24,18 @@ import orbax.checkpoint as ocp
 _async_ckptr: Optional[ocp.AsyncCheckpointer] = None
 
 
+def _close_async_checkpointer() -> None:
+    global _async_ckptr
+    if _async_ckptr is not None:
+        _async_ckptr.close()  # waits for pending commits, then releases
+        _async_ckptr = None
+
+
 def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
     global _async_ckptr
     if _async_ckptr is None:
         _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-        atexit.register(wait_for_checkpoints)
+        atexit.register(_close_async_checkpointer)
     return _async_ckptr
 
 
@@ -45,7 +52,10 @@ def save_checkpoint(path: Path, state: Any, step: int, block: bool = False) -> N
     path = Path(path).resolve()
     path.mkdir(parents=True, exist_ok=True)
     ckptr = _get_async_checkpointer()
-    ckptr.save(path / f"{step}", args=ocp.args.StandardSave(state), force=True)
+    # No force=True: an existing step dir (e.g. re-running into the same
+    # output_dir) raises instead of silently destroying prior checkpoints —
+    # the same protective behavior as the previous synchronous writer.
+    ckptr.save(path / f"{step}", args=ocp.args.StandardSave(state))
     if block:
         ckptr.wait_until_finished()
 

@@ -103,3 +103,9 @@ def test_async_checkpoint_roundtrip(tmp_path):
         {"params": {"w": jnp.zeros((3, 4))}, "step": jnp.asarray(0)},
     )
     assert float(latest["step"]) == 9
+    # The earlier in-flight save was not cancelled by the later one.
+    step8 = restore_checkpoint(
+        tmp_path / "ckpt" / "8",
+        {"params": {"w": jnp.zeros((3, 4))}, "step": jnp.asarray(0)},
+    )
+    assert float(step8["step"]) == 7  # saved `state` (step leaf value 7)
