@@ -195,14 +195,23 @@ def _window_attention(
     vs = _split_windows(v, num_splits)
     bkk, hk, wk, _ = qs.shape
     L = hk * wk
-    scores = (
-        jnp.einsum("blc,bmc->blm", qs.reshape(bkk, L, c), ks.reshape(bkk, L, c))
-        * scale
+    # Fused softmax-attention kernel (the (L, L) probabilities never reach
+    # HBM); the shifted-window mask rides in as the additive bias. The
+    # kernel's scale is 1/sqrt(c) — identical to `scale` above. jnp
+    # fallback off-TPU inside softmax_expectation.
+    from ..ops.pallas import softmax_expectation
+
+    bias = (
+        jnp.tile(attn_mask, (b, 1, 1)).astype(jnp.float32)
+        if with_shift
+        else None
     )
-    if with_shift:
-        scores = scores + jnp.tile(attn_mask, (b, 1, 1))
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("blm,bmc->blc", attn, vs.reshape(bkk, L, c))
+    out = softmax_expectation(
+        qs.reshape(bkk, L, c),
+        ks.reshape(bkk, L, c),
+        vs.reshape(bkk, L, c),
+        bias=bias,
+    ).astype(q.dtype)
     out = _merge_windows(out.reshape(bkk, hk, wk, c), num_splits)
 
     if with_shift:
@@ -211,9 +220,9 @@ def _window_attention(
 
 
 def _full_attention(q, k_, v):
-    c = q.shape[-1]
-    scores = jnp.einsum("blc,bmc->blm", q, k_) / (c**0.5)
-    return jnp.einsum("blm,bmc->blc", jax.nn.softmax(scores, axis=-1), v)
+    from ..ops.pallas import softmax_expectation
+
+    return softmax_expectation(q, k_, v).astype(q.dtype)
 
 
 def _transformer_layer(

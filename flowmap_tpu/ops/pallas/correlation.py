@@ -70,8 +70,31 @@ def _kernel(f0_ref, f1_ref, grid_ref, out_ref, *, valid_keys):
     ) / denom
 
 
-def _pallas_call(f0, f1, values, block_q):
-    """values: (b, L, d) per-batch softmax values."""
+def _kernel_bias(f0_ref, f1_ref, grid_ref, bias_ref, out_ref, *, valid_keys):
+    import jax.numpy as jnp
+
+    q = f0_ref[:]  # (BLOCK_Q, c)
+    k = f1_ref[:]  # (Lp, c)
+    g = grid_ref[:]  # (Lp, d)
+    c = q.shape[-1]
+    scores = jnp.dot(
+        q, k.T, preferred_element_type=jnp.float32
+    ) * (1.0 / (c**0.5))
+    scores = scores + bias_ref[:].astype(jnp.float32)
+    if valid_keys != k.shape[0]:
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(key_idx < valid_keys, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out_ref[:] = jnp.dot(
+        p, g, preferred_element_type=jnp.float32
+    ) / denom
+
+
+def _pallas_call(f0, f1, values, block_q, bias=None):
+    """values: (b, L, d) per-batch softmax values; bias: (b, L, L) additive
+    pre-softmax scores (e.g. the swin shifted-window mask) or None."""
     from jax.experimental import pallas as pl
 
     b, length, c = f0.shape
@@ -82,10 +105,32 @@ def _pallas_call(f0, f1, values, block_q):
         f0 = jnp.pad(f0, ((0, 0), (0, pad), (0, 0)))
         f1 = jnp.pad(f1, ((0, 0), (0, pad), (0, 0)))
         values = jnp.pad(values, ((0, 0), (0, pad), (0, 0)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
     num_blocks = padded // block_q
-    kernel = functools.partial(_kernel, valid_keys=length)
 
-    def run_single(f0_b, f1_b, v_b):
+    if bias is None:
+        kernel = functools.partial(_kernel, valid_keys=length)
+
+        def run_single(f0_b, f1_b, v_b):
+            return _rt.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((padded, d), jnp.float32),
+                grid=(num_blocks,),
+                in_specs=[
+                    pl.BlockSpec((block_q, c), lambda i: (i, 0)),
+                    pl.BlockSpec((padded, c), lambda i: (0, 0)),
+                    pl.BlockSpec((padded, d), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((block_q, d), lambda i: (i, 0)),
+            )(f0_b, f1_b, v_b)
+
+        out = jax.vmap(run_single)(f0, f1, values)
+        return out[:, :length]
+
+    kernel = functools.partial(_kernel_bias, valid_keys=length)
+
+    def run_single_bias(f0_b, f1_b, v_b, bias_b):
         return _rt.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((padded, d), jnp.float32),
@@ -94,11 +139,12 @@ def _pallas_call(f0, f1, values, block_q):
                 pl.BlockSpec((block_q, c), lambda i: (i, 0)),
                 pl.BlockSpec((padded, c), lambda i: (0, 0)),
                 pl.BlockSpec((padded, d), lambda i: (0, 0)),
+                pl.BlockSpec((block_q, padded), lambda i: (i, 0)),
             ],
             out_specs=pl.BlockSpec((block_q, d), lambda i: (i, 0)),
-        )(f0_b, f1_b, v_b)
+        )(f0_b, f1_b, v_b, bias_b)
 
-    out = jax.vmap(run_single)(f0, f1, values)
+    out = jax.vmap(run_single_bias)(f0, f1, values, bias)
     return out[:, :length]
 
 
@@ -106,23 +152,29 @@ def softmax_expectation(
     f0: Float[Array, "b l c"],
     f1: Float[Array, "b l c"],
     values: Float[Array, "b l d"],
+    bias=None,
 ) -> Float[Array, "b l d"]:
-    """softmax(f0 f1^T / sqrt(c)) @ values without materializing (l, l).
+    """softmax(f0 f1^T / sqrt(c) [+ bias]) @ values without materializing
+    the (l, l) probabilities.
 
-    The general fused form: per-batch values. Serves both GMFlow's global
-    correlation (values = the shared coordinate grid) and its flow
-    self-attention propagation (values = the per-batch flow field,
-    `transformer.py:294-345`)."""
+    The general fused form: per-batch values, optional additive pre-softmax
+    bias (b, l, l). Serves GMFlow's global correlation (values = the shared
+    coordinate grid), its flow self-attention propagation (values = the
+    per-batch flow field, `transformer.py:294-345`), and the swin
+    window/full attention layers (bias = the shifted-window mask)."""
     b, length, c = f0.shape
     d = values.shape[-1]
 
     padded = -(-length // _BLOCK_Q) * _BLOCK_Q
-    vmem_needed = 4 * (padded * c + _BLOCK_Q * padded + padded * d + _BLOCK_Q * c)
+    vmem_needed = 4 * (
+        padded * c + _BLOCK_Q * padded + padded * d + _BLOCK_Q * c
+        + (_BLOCK_Q * padded if bias is not None else 0)
+    )
     on_tpu = _rt.kernels_enabled()
     if not on_tpu or vmem_needed > _VMEM_LIMIT_BYTES:
         # Fall back to a query-chunked jnp formulation (still avoids the full
         # (l, l) volume when chunking applies).
-        if length > 4096:
+        if length > 4096 and bias is None:
             chunks = []
             for start in range(0, length, 2048):
                 part = f0[:, start : start + 2048]
@@ -131,10 +183,12 @@ def softmax_expectation(
                 chunks.append(jnp.einsum("blm,bmd->bld", prob, values))
             return jnp.concatenate(chunks, axis=1)
         corr = jnp.einsum("blc,bmc->blm", f0, f1) / (c**0.5)
+        if bias is not None:
+            corr = corr + bias
         prob = jax.nn.softmax(corr, axis=-1)
         return jnp.einsum("blm,bmd->bld", prob, values)
 
-    return _pallas_call(f0, f1, values, _BLOCK_Q)
+    return _pallas_call(f0, f1, values, _BLOCK_Q, bias=bias)
 
 
 def global_correlation_expectation(

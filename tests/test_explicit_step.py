@@ -137,3 +137,54 @@ def test_unknown_collectives_mode_rejected(setup):
     mesh = make_mesh(n_data=1, n_frame=8)
     with pytest.raises(ValueError, match="unknown collectives"):
         make_sharded_train_step(step, mesh, state, batch, collectives="nope")
+
+
+def test_cli_with_explicit_collectives(tmp_path):
+    """The shipped CLI path runs frame-sharded with explicit collectives
+    end-to-end (trainer.sharding=auto engages on the 8-device test mesh at
+    8 frames; trainer.collectives=explicit routes the pose chain + halo
+    through parallel/collectives.py)."""
+    import json
+
+    from PIL import Image
+
+    from flowmap_tpu.config import OverfitCfg, compose_config
+    from flowmap_tpu.flow.predictors import save_flows
+    from flowmap_tpu.overfit import overfit
+
+    f, (h, w) = 8, (48, 64)
+    batch, flows, _ = make_scene(SyntheticSceneCfg(num_frames=f, image_shape=(h, w)))
+    images_dir = tmp_path / "images"
+    images_dir.mkdir()
+    for i, frame in enumerate(np.asarray(batch.videos[0])):
+        arr = (frame.transpose(1, 2, 0) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(images_dir / f"{i:0>6}.png")
+    save_flows(tmp_path / "flows.npz", flows)
+
+    out_dir = tmp_path / "out"
+    cfg = compose_config(
+        "overfit",
+        OverfitCfg,
+        [
+            f"dataset.images.root={images_dir}",
+            "flow=precomputed",
+            f"flow.path={tmp_path}/flows.npz",
+            "model/backbone=explicit_depth",
+            "model.backbone.initial_depth=1.0",
+            "model/intrinsics=regressed",
+            "model.intrinsics.initial_focal_length=1.1",
+            "loss=[flow]",
+            "trainer.max_steps=6",
+            "trainer.val_check_interval=3",
+            "trainer.collectives=explicit",
+            "cropping.image_shape=[48,64]",
+            "cropping.patch_size=16",
+            "cropping.flow_scale_multiplier=1",
+            f"output_dir={out_dir}",
+        ],
+    )
+    result = overfit(cfg)
+    history = result["info"]["history"]["loss/total"]
+    assert np.isfinite(history).all()
+    assert history[-1] <= history[0]
+    assert json.loads((out_dir / "runtime.json").read_text())["runtime"] > 0

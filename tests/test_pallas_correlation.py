@@ -88,3 +88,30 @@ def test_nonmultiple_length_uses_kernel_with_key_masking():
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
             err_msg=f"L={length}",
         )
+
+
+def test_bias_matches_reference():
+    """The additive-bias path (swin shifted-window mask) must match the
+    unfused scores+mask softmax exactly, including with key padding."""
+    from flowmap_tpu.ops.pallas.correlation import softmax_expectation
+    from flowmap_tpu.ops.pallas.runtime import pallas_mode
+
+    rng = np.random.default_rng(3)
+    for length in (64, 300):
+        f0 = jnp.asarray(rng.normal(size=(2, length, 16)).astype(np.float32))
+        f1 = jnp.asarray(rng.normal(size=(2, length, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, length, 8)).astype(np.float32))
+        bias = jnp.asarray(
+            np.where(rng.random((2, length, length)) < 0.3, -100.0, 0.0)
+            .astype(np.float32)
+        )
+        with pallas_mode("force"):
+            got = softmax_expectation(f0, f1, v, bias=bias)
+        corr = jnp.einsum("blc,bmc->blm", f0, f1) / (16**0.5) + bias
+        want = jnp.einsum(
+            "blm,bmd->bld", jax.nn.softmax(corr, axis=-1), v
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"L={length}",
+        )
