@@ -179,7 +179,6 @@ def _window_attention(
     """Single-head swin attention over (b, L, c) tensors
     (`transformer.py:47-105`)."""
     b, _, c = q.shape
-    scale = 1.0 / (c**0.5)
     q = q.reshape(b, h, w, c)
     k_ = k_.reshape(b, h, w, c)
     v = v.reshape(b, h, w, c)
