@@ -43,9 +43,15 @@ def rescale_mask(
 def compute_consistency_mask(
     videos: Float[Array, "b f 3 h w"],
     flow: Float[Array, "b p h w 2"],
+    warp_dtype=jnp.float32,
 ) -> Float[Array, "b p h w"]:
     """Photometric-consistency weight: warp the target frame back by the flow
-    and compare colors ((1 - max channel delta)^8)."""
+    and compare colors ((1 - max channel delta)^8).
+
+    `warp_dtype` controls the dense-warp contraction precision: when the
+    flow itself came from a bf16 net (the pretrain config), sampling the
+    rgb in bf16 adds ~0.4% to deltas already carrying bf16-flow noise and
+    halves the warp kernel's MXU time."""
     b, f, c, h, w = videos.shape
     source = videos[:, :-1].reshape(b * (f - 1), c, h, w)
     target = videos[:, 1:].reshape(b * (f - 1), c, h, w)
@@ -62,7 +68,7 @@ def compute_consistency_mask(
         target_xy * jnp.asarray([w, h], target_xy.dtype) - 0.5
     )
     target_pixels = dense_warp_bilinear(
-        jax.lax.stop_gradient(target), pixel_xy, "zeros"
+        jax.lax.stop_gradient(target), pixel_xy, "zeros", warp_dtype
     )
     deltas = jnp.max(jnp.abs(source - target_pixels), axis=1)
     return ((1.0 - deltas) ** 8).reshape(b, f - 1, h, w)
@@ -72,17 +78,30 @@ def compute_bidirectional_flow(
     predict: Callable[[Float[Array, "b f 3 h w"]], Float[Array, "b p h w 2"]],
     batch: Batch,
     flow_shape: tuple[int, int],
+    mask_warp_dtype=None,
 ) -> Flows:
     """Run `predict` on the video and its time reversal; normalize, mask,
-    rescale (reference: `flow_predictor.py:82-103`)."""
+    rescale (reference: `flow_predictor.py:82-103`).
+
+    `mask_warp_dtype` defaults to the predictor's own `compute_dtype` when
+    it exposes one (see compute_consistency_mask), else float32."""
+    if mask_warp_dtype is None:
+        mask_warp_dtype = getattr(
+            predict, "compute_dtype",
+            getattr(getattr(predict, "__self__", None), "compute_dtype", None),
+        ) or jnp.float32
     forward = predict(batch.videos)
-    forward_mask = compute_consistency_mask(batch.videos, forward)
+    forward_mask = compute_consistency_mask(
+        batch.videos, forward, mask_warp_dtype
+    )
     forward = rescale_flow(forward, flow_shape)
     forward_mask = rescale_mask(forward_mask, flow_shape)
 
     backward_videos = jnp.flip(batch.videos, axis=1)
     backward = predict(backward_videos)
-    backward_mask = compute_consistency_mask(backward_videos, backward)
+    backward_mask = compute_consistency_mask(
+        backward_videos, backward, mask_warp_dtype
+    )
     backward = rescale_flow(backward, flow_shape)
     backward_mask = rescale_mask(backward_mask, flow_shape)
 

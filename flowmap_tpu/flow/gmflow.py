@@ -415,6 +415,7 @@ class GMFlowPredictor:
             self.params = init_params(jax.random.PRNGKey(0))
         self.max_batch_size = getattr(cfg, "max_batch_size", 8)
         dtype = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
+        self.compute_dtype = dtype
         if dtype != jnp.float32:
             self.params = jax.tree_util.tree_map(
                 lambda x: x.astype(dtype), self.params
