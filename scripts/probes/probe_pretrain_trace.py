@@ -86,18 +86,31 @@ path = sorted(glob.glob("/tmp/jax_trace_pretrain/plugins/profile/*/*.trace.json.
 with gzip.open(path) as f:
     data = json.load(f)
 by_src, by_cat, by_name = collections.Counter(), collections.Counter(), collections.Counter()
+while_span = 0.0
 meta = {}
 for e in data["traceEvents"]:
     if e.get("ph") != "X" or e.get("pid") != 3 or e.get("tid") != 3:
         continue
     d = e.get("dur", 0.0)
     args = e.get("args", {})
+    cat = args.get("hlo_category", "?")
+    # A `while` op's trace span COVERS its body: the body's fusions/kernels
+    # are separate events inside the same span, so summing the while in
+    # with them double-counts (round-5 lesson: the "chunk scan 470 ms"
+    # was the GMFlow chunk loop's parent span, not extra work — device
+    # totals that exceed measured wall-clock are the tell).
+    if cat == "while" or e["name"].startswith("while"):
+        while_span += d
+        continue
     by_src[args.get("source", "?")] += d
-    by_cat[args.get("hlo_category", "?")] += d
+    by_cat[cat] += d
     by_name[e["name"]] += d
     meta[e["name"]] = (args.get("source", "?"), args.get("tf_op", "")[:100])
 total = sum(by_cat.values())
-print(f"total device: {total / n_steps / 1000:.1f} ms/step\n== by category ==")
+print(f"total device (flat ops, while parents excluded): "
+      f"{total / n_steps / 1000:.1f} ms/step")
+print(f"while parent spans (loop incl. body, for reference): "
+      f"{while_span / n_steps / 1000:.1f} ms/step\n== by category ==")
 for c, d in by_cat.most_common(12):
     print(f"{d / n_steps / 1000:9.2f} ms  {c}")
 print("\n== by source ==")
