@@ -57,18 +57,25 @@ def compute_consistency_mask(
     target = videos[:, 1:].reshape(b * (f - 1), c, h, w)
 
     source_xy, _ = sample_image_grid((h, w), dtype=videos.dtype)
-    target_xy = source_xy + flow.reshape(b * (f - 1), h, w, 2)
     # Dense unbounded warp: the one-hot MXU kernel (ops/pallas/dense_warp.py)
     # — TPU gathers of c=3 rows are serial-unit-bound (measured 1.4 s/step
     # at the pretrain shape, 61% of the step; round-5 log). Forward-only is
     # fine: the mask is supervision, always consumed under stop_gradient.
-    from ..ops.pallas.dense_warp import dense_warp_bilinear
+    # Coordinates go in PLANAR (x / y) form: a trailing (..., 2) pixel-
+    # coordinate array puts 2 on the lane axis, and the resulting ~64x tile
+    # padding cost a measured 80 ms/step of pads + elementwise at the
+    # pretrain shape (docs/PERF_R5.md, round-5 correction).
+    from ..ops.pallas.dense_warp import dense_warp_bilinear_planar
 
-    pixel_xy = jax.lax.stop_gradient(
-        target_xy * jnp.asarray([w, h], target_xy.dtype) - 0.5
+    flow_pairs = flow.reshape(b * (f - 1), h, w, 2)
+    px = jax.lax.stop_gradient(
+        (source_xy[..., 0] + flow_pairs[..., 0]) * w - 0.5
     )
-    target_pixels = dense_warp_bilinear(
-        jax.lax.stop_gradient(target), pixel_xy, "zeros", warp_dtype
+    py = jax.lax.stop_gradient(
+        (source_xy[..., 1] + flow_pairs[..., 1]) * h - 0.5
+    )
+    target_pixels = dense_warp_bilinear_planar(
+        jax.lax.stop_gradient(target), px, py, "zeros", warp_dtype
     )
     deltas = jnp.max(jnp.abs(source - target_pixels), axis=1)
     return ((1.0 - deltas) ** 8).reshape(b, f - 1, h, w)

@@ -11,14 +11,26 @@ channel-padded variants (scripts in round-5 log). The windowed warp
 kernels (`warp_kernel.py`, `shift_warp.py`) need a static displacement
 bound, which in-step flow does not have.
 
-TPU-first reformulation: the whole (c, w, h) image fits VMEM at these
+TPU-first reformulation: the whole (c, h, w) image fits VMEM at these
 shapes (<= ~2 MB), so each program block of P output pixels builds its
-bilinear x-weight PAIR matrix (P, w) on the fly from an iota comparison
-(zero HBM traffic), contracts it against the resident image on the MXU,
-and reduces the y-pair weights on the VPU:
+bilinear pair-weight matrices on the fly from an iota comparison (zero
+HBM traffic) and contracts them against the resident image on the MXU.
 
-    tmp_c[p, y] = sum_x WX[p, x] * img_c[x, y]      (MXU, per channel)
-    out_c[p]    = sum_y WY[p, y] * tmp_c[p, y]      (VPU)
+Layout (round-5 correction): the kernel is TRANSPOSED so the pixel axis P
+rides the LANES end to end. The first formulation carried coordinates as
+(n, total, 2) and weights as (P, size); the trailing dim 2 sat on lanes,
+so every surrounding pad/elementwise op ran on ~64x-padded tiles (126 of
+128 lanes wasted) — measured 80 ms/step of pads + pixel-coordinate
+fusions at the pretrain shape that existed only because of layout. Now
+coordinates travel as (n, 2, total) (planar x / y rows, lanes dense) and
+the kernel computes
+
+    tmp_c[y, p] = sum_x img_c[y, x] * WX[x, p]      (MXU, per channel)
+    out_c[p]    = sum_y WY[y, p] * tmp_c[y, p]      (VPU sublane reduce)
+
+with WX (w, P) / WY (h, P) built by comparing a (size, P) iota row-index
+against the lane vector of pixel coordinates. The image stays in its
+native (c, h, w) layout (no host-side transpose).
 
 This trades O(p*c) gather traffic for O(p*h*w*c) MXU FLOPs — exactly the
 "TPUs have no fast gather but very fast matmuls" trade `grid_sample_points`
@@ -48,28 +60,28 @@ from jaxtyping import Array, Float
 
 from . import runtime as _rt
 
-# Pixels per program block. 1024 keeps the in-kernel weight matrices +
-# f32 tmp a few MB; total VMEM at the mask shape (c=3, 288x400): image
-# 1.4 MB (x2 buffering) + WX (1024, 400) + WY/tmp (1024, 288).
+# Pixels per program block (the lane axis of every in-kernel temporary).
+# 1024 keeps the weight matrices + f32 tmp a few MB; total VMEM at the
+# mask shape (c=3, 288x400): image 1.4 MB (x2 buffering) + WX (400, 1024)
+# + WY/tmp (288, 1024).
 _BLOCK_P = 1024
 _VMEM_LIMIT_BYTES = 13 * 1024 * 1024
 
 
 def _kernel(img_ref, xy_ref, out_ref, *, h, w, padding_mode):
-    """img: (1, c, w, h) resident; xy: (1, P, 2) pixel coords; out: (1, c, P)."""
-    xy = xy_ref[0]
-    x = xy[:, 0:1]  # (P, 1)
-    y = xy[:, 1:2]
+    """img: (1, c, h, w) resident; xy: (1, 2, P) planar coords; out: (1, c, P)."""
+    x = xy_ref[0, 0:1, :]  # (1, P)
+    y = xy_ref[0, 1:2, :]
     c = img_ref.shape[1]
-    p = xy.shape[0]
+    p = xy_ref.shape[2]
 
     def onehot_pair(coord, size):
-        """(P, size) bilinear pair weights with border clamp / zeros drop."""
+        """(size, P) bilinear pair weights with border clamp / zeros drop."""
         c0 = jnp.floor(coord)
-        t = coord - c0  # (P, 1)
+        t = coord - c0  # (1, P)
         i0 = c0.astype(jnp.int32)
         i1 = i0 + 1
-        idx = jax.lax.broadcasted_iota(jnp.int32, (p, size), 1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (size, p), 0)
         if padding_mode == "border":
             w0 = (idx == jnp.clip(i0, 0, size - 1)).astype(jnp.float32)
             w1 = (idx == jnp.clip(i1, 0, size - 1)).astype(jnp.float32)
@@ -79,39 +91,37 @@ def _kernel(img_ref, xy_ref, out_ref, *, h, w, padding_mode):
         return w0 * (1.0 - t) + w1 * t
 
     img_dtype = img_ref.dtype
-    wx = onehot_pair(x, w).astype(img_dtype)  # (P, w)
-    wy = onehot_pair(y, h)  # (P, h) f32
+    wx = onehot_pair(x, w).astype(img_dtype)  # (w, P)
+    wy = onehot_pair(y, h)  # (h, P) f32
     for ch in range(c):
         tmp = jax.lax.dot_general(
-            wx,
             img_ref[0, ch],
+            wx,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (P, h)
-        out_ref[0, ch, :] = jnp.sum(wy * tmp, axis=1)
+        )  # (h, P)
+        out_ref[0, ch, :] = jnp.sum(wy * tmp, axis=0)
 
 
-def _xla_fallback(images, grid_xy, padding_mode):
+def _xla_fallback(images, px, py, padding_mode):
     """Flat-take formulation (CPU/non-TPU correctness path)."""
     n, c, h, w = images.shape
-    x = grid_xy[..., 0]
-    y = grid_xy[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = (x - x0)[..., None]
-    ty = (y - y0)[..., None]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = (px - x0)[..., None]
+    ty = (py - y0)[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     flat = images.transpose(0, 2, 3, 1).reshape(n * h * w, c)
     base = (jnp.arange(n, dtype=jnp.int32) * (h * w)).reshape(
-        (n,) + (1,) * (grid_xy.ndim - 2)
+        (n,) + (1,) * (px.ndim - 1)
     )
 
     def gather(yi, xi):
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
         v = jnp.take(flat, (base + yc * w + xc).reshape(-1), axis=0)
-        v = v.reshape(*grid_xy.shape[:-1], c)
+        v = v.reshape(*px.shape, c)
         if padding_mode == "zeros":
             inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
             v = v * inb[..., None].astype(v.dtype)
@@ -127,56 +137,64 @@ def _xla_fallback(images, grid_xy, padding_mode):
     return jnp.moveaxis(out, -1, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def dense_warp_bilinear(
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dense_warp_bilinear_planar(
     images: Float[Array, "n c h w"],
-    grid_xy: Float[Array, "n hg wg 2"],
+    px: Float[Array, "n hg wg"],
+    py: Float[Array, "n hg wg"],
     padding_mode: str = "zeros",
     compute_dtype=jnp.float32,
 ) -> Float[Array, "n c hg wg"]:
-    """Bilinear-sample `images` at absolute PIXEL coordinates `grid_xy`
-    (x, y order, align_corners=False convention: valid centers in
+    """Bilinear-sample `images` at absolute PIXEL coordinates given as
+    PLANAR x / y maps (align_corners=False convention: valid centers in
     [-0.5, size-0.5]). Handles arbitrary (unbounded) displacements.
 
-    Equivalent to `grid_sample_2d(images, grid*2/size - 1, padding_mode)`;
-    see module docstring for when to use which. Forward-only (custom_vjp
-    that raises) — callers warp by stop-gradient flow.
+    The planar entry is the fast path: coordinates stay lane-dense
+    ((n, 2, total)) all the way into the kernel, so the producer's
+    elementwise work and the block padding run on full tiles. Forward-only
+    (custom_vjp that raises) — callers warp by stop-gradient flow.
     """
-    return _dense_warp_impl(images, grid_xy, padding_mode, compute_dtype)
+    return _dense_warp_impl(images, px, py, padding_mode, compute_dtype)
 
 
-def _dense_warp_impl(images, grid_xy, padding_mode, compute_dtype):
+def _dense_warp_impl(images, px, py, padding_mode, compute_dtype):
     from jax.experimental import pallas as pl
 
     if padding_mode not in ("border", "zeros"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
     n, c, h, w = images.shape
-    _, hg, wg, _ = grid_xy.shape
+    _, hg, wg = px.shape
 
     def lanes(v):  # lane-tile padding to 128
         return -(-v // 128) * 128
 
-    img_bytes = c * w * lanes(h) * 4
-    # In-kernel temporaries (not pipelined): WX (P, w) + WY/tmp (P, h) f32.
-    temp_bytes = 4 * _BLOCK_P * (lanes(w) + 2 * lanes(h))
+    def sub(v):  # sublane-tile padding to 8
+        return -(-v // 8) * 8
+
+    img_bytes = c * sub(h) * lanes(w) * 4
+    # In-kernel temporaries (not pipelined): WX (w, P) + WY/tmp (h, P) f32.
+    temp_bytes = 4 * _BLOCK_P * (sub(w) + 2 * sub(h))
     usable = (
         _rt.kernels_enabled()
         and c <= 8
         and 2 * img_bytes + temp_bytes < _VMEM_LIMIT_BYTES
     )
     if not usable:
-        return _xla_fallback(images, grid_xy, padding_mode)
+        return _xla_fallback(images, px, py, padding_mode)
 
     total = hg * wg
     padded = -(-total // _BLOCK_P) * _BLOCK_P
-    coords = grid_xy.reshape(n, total, 2).astype(jnp.float32)
+    # (n, 2, total): planar rows, pixel axis on lanes — padding and the
+    # kernel's entry DMA run on dense tiles (the round-5 layout fix).
+    coords = jnp.stack(
+        [px.reshape(n, total), py.reshape(n, total)], axis=1
+    ).astype(jnp.float32)
     if padded != total:
-        # Padded coords sample (0,0) harmlessly; rows are sliced off below.
-        coords = jnp.pad(coords, ((0, 0), (0, padded - total), (0, 0)))
+        # Padded coords sample (0,0) harmlessly; columns are sliced off below.
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, padded - total)))
     num_blocks = padded // _BLOCK_P
 
-    # (c, w, h) layout so the x-contraction is a plain (P, w) @ (w, h) dot.
-    img_cwh = images.transpose(0, 1, 3, 2).astype(compute_dtype)
+    img = images.astype(compute_dtype)  # native (c, h, w) layout
 
     kernel = functools.partial(_kernel, h=h, w=w, padding_mode=padding_mode)
     out = _rt.pallas_call(
@@ -184,16 +202,19 @@ def _dense_warp_impl(images, grid_xy, padding_mode, compute_dtype):
         out_shape=jax.ShapeDtypeStruct((n, c, padded), jnp.float32),
         grid=(n, num_blocks),
         in_specs=[
-            pl.BlockSpec((1, c, w, h), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, _BLOCK_P, 2), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, _BLOCK_P), lambda i, j: (i, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, c, _BLOCK_P), lambda i, j: (i, 0, j)),
-    )(img_cwh, coords)
+    )(img, coords)
     return out[:, :, :total].reshape(n, c, hg, wg)
 
 
-def _fwd(images, grid_xy, padding_mode, compute_dtype):
-    return dense_warp_bilinear(images, grid_xy, padding_mode, compute_dtype), None
+def _fwd(images, px, py, padding_mode, compute_dtype):
+    return (
+        dense_warp_bilinear_planar(images, px, py, padding_mode, compute_dtype),
+        None,
+    )
 
 
 def _bwd(padding_mode, compute_dtype, residual, g):
@@ -203,4 +224,23 @@ def _bwd(padding_mode, compute_dtype, residual, g):
     )
 
 
-dense_warp_bilinear.defvjp(_fwd, _bwd)
+dense_warp_bilinear_planar.defvjp(_fwd, _bwd)
+
+
+def dense_warp_bilinear(
+    images: Float[Array, "n c h w"],
+    grid_xy: Float[Array, "n hg wg 2"],
+    padding_mode: str = "zeros",
+    compute_dtype=jnp.float32,
+) -> Float[Array, "n c hg wg"]:
+    """Packed-coordinate convenience entry: `grid_xy` in (x, y) pixel
+    coordinates, trailing axis 2. Equivalent to
+    `grid_sample_2d(images, grid*2/size - 1, padding_mode)`.
+
+    Prefer :func:`dense_warp_bilinear_planar` in hot paths — a trailing
+    (..., 2) coordinate array wastes 126 of 128 lanes in every op that
+    touches it (see module docstring).
+    """
+    return dense_warp_bilinear_planar(
+        images, grid_xy[..., 0], grid_xy[..., 1], padding_mode, compute_dtype
+    )
