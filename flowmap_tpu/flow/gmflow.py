@@ -327,36 +327,57 @@ def _flow_propagation(p, feature0: Float[Array, "b h w c"], flow):
     return out.reshape(b, h, w, 2)
 
 
-def _unfold3x3(x: Float[Array, "b h w c"]) -> Float[Array, "b h w 9 c"]:
-    """3x3 neighborhoods (zero padded), row-major offset order like torch
-    F.unfold."""
-    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    h, w = x.shape[1:3]
-    patches = [
-        padded[:, dy : dy + h, dx : dx + w]
-        for dy in range(3)
-        for dx in range(3)
-    ]
-    return jnp.stack(patches, axis=3)
-
-
 def _upsample_flow_convex(p, flow: Float[Array, "b h w 2"], feature):
-    """Convex x8 upsampling (`gmflow.py:72-92`)."""
+    """Convex x8 upsampling (`gmflow.py:72-92`), lane-dense formulation.
+
+    Same math as `softmax(mask.reshape(..., 9, k, k), axis=3)` einsummed
+    against the unfolded neighborhoods — but that layout puts (k, k) on the
+    (sublane, lane) tiles, wasting 120 of 128 lanes, and the K=9 einsum +
+    unfold stack cost a measured ~70 ms/step at the pretrain shape
+    (round-5 trace). Here the mask stays (b, h, w, 9*k*k) with its n-major
+    channel order: group-softmax over the 9 stride-kk lane slices, then a
+    convex combination of the 9 shifted coarse-flow slices — everything
+    elementwise on (b, h, w, kk) tiles.
+    """
     b, h, w, _ = flow.shape
     k = UPSAMPLE_FACTOR
+    kk = k * k
     concat = jnp.concatenate([flow, feature], axis=-1)
     mask = jax.nn.relu(
         _conv(concat, p["upsampler.0.weight"], p["upsampler.0.bias"])
     )
     mask = _conv(mask, p["upsampler.2.weight"], p["upsampler.2.bias"])
-    mask = mask.reshape(b, h, w, 9, k, k)
-    mask = jax.nn.softmax(mask, axis=3)
 
-    neighborhoods = _unfold3x3(flow * k)  # (b, h, w, 9, 2)
-    up = jnp.einsum("bhwnuv,bhwnd->bhwuvd", mask, neighborhoods)
-    # (b, h, 8, w, 8, 2) -> (b, 8h, 8w, 2)
-    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * k, w * k, 2)
-    return up
+    # Group softmax over n: channel index is n*kk + u*k + v, so the 9
+    # logits of each output subpixel live in stride-kk lane slices.
+    parts = [mask[..., n * kk : (n + 1) * kk] for n in range(9)]
+    peak = parts[0]
+    for q in parts[1:]:
+        peak = jnp.maximum(peak, q)
+    exps = [jnp.exp((q - peak).astype(jnp.float32)) for q in parts]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    inv = 1.0 / denom
+
+    fk = (flow * k).astype(jnp.float32)
+    planes = []
+    for d in range(2):
+        padded = jnp.pad(fk[..., d], ((0, 0), (1, 1), (1, 1)))
+        acc = None
+        for n, e in enumerate(exps):
+            dy, dx = divmod(n, 3)
+            shift = padded[:, dy : dy + h, dx : dx + w][..., None]
+            term = e * shift
+            acc = term if acc is None else acc + term
+        up_d = acc * inv  # (b, h, w, kk): convex combination, (u, v) on lanes
+        # Pixel shuffle: lane u*k+v -> row y*k+u, col x*k+v.
+        rows = [
+            up_d[..., u * k : (u + 1) * k].reshape(b, h, w * k)
+            for u in range(k)
+        ]
+        planes.append(jnp.stack(rows, axis=2).reshape(b, h * k, w * k))
+    return jnp.stack(planes, axis=-1)
 
 
 # ---------------------------------------------------------------------------
